@@ -138,13 +138,16 @@ class Indexer:
         self.fusions = fusions
         self.settings = settings
         self.fusion_seq: List[str] = []
-        # kmer -> (kind, payload); kind: 0=regular GenePos, 1=dupe list idx
-        self.kmer_gp: Dict[int, Tuple[int, int, int]] = {}  # kmer -> (ctg,pos) regular
-        self.kmer_dupe: Dict[int, List[Tuple[int, int]]] = {}
-        self.kmer_high: set = set()
+        # grouped-array index representation (vectorized build):
+        #   entries sorted by kmer (stable, preserving insertion order):
+        #   uniq_keys (sorted uint32), group_start/group_count into se
+        self.se: np.ndarray = np.zeros((0, 3), np.int64)  # (kmer, contig, pos)
+        self.uniq_keys: np.ndarray = np.zeros(0, np.uint32)
+        self.group_start: np.ndarray = np.zeros(0, np.int64)
+        self.group_count: np.ndarray = np.zeros(0, np.int64)
         self.unique_pos = 0
         self.dupe_pos = 0
-        self._entries_cache: Optional[np.ndarray] = None
+        self._dicts: Optional[tuple] = None
 
     # ---------------- build ----------------
 
@@ -186,27 +189,55 @@ class Indexer:
             entries = np.concatenate(all_entries, axis=0)
         else:
             entries = np.zeros((0, 3), np.int64)
-        self._entries_cache = entries
 
         # group by kmer preserving insertion order (stable sort)
         order = np.argsort(entries[:, 0], kind="stable")
-        se = entries[order]
-        kmers = se[:, 0]
-        thr = self.settings.skip_key_dup_threshold
-        uniq, starts, counts = np.unique(kmers, return_index=True, return_counts=True)
-        for k, s0, c in zip(uniq.tolist(), starts.tolist(), counts.tolist()):
-            if c == 1:
-                self.kmer_gp[k] = (int(se[s0, 1]), int(se[s0, 2]))
-                self.unique_pos += 1
-            elif c <= thr:
-                self.kmer_dupe[k] = [
-                    (int(se[j, 1]), int(se[j, 2])) for j in range(s0, s0 + c)
-                ]
-                self.dupe_pos += 1
-            else:
-                self.kmer_high.add(k)
-                self.dupe_pos += 1
+        self.se = entries[order]
+        uniq, starts, counts = np.unique(
+            self.se[:, 0], return_index=True, return_counts=True
+        )
+        self.uniq_keys = uniq.astype(np.uint32)
+        self.group_start = starts.astype(np.int64)
+        self.group_count = counts.astype(np.int64)
+        self.unique_pos = int(np.count_nonzero(counts == 1))
+        self.dupe_pos = int(np.count_nonzero(counts > 1))
         log.info("mapper indexing done.")
+
+    # ---- dict views (tests / small-panel oracle introspection) ----
+
+    def _build_dicts(self):
+        if self._dicts is not None:
+            return self._dicts
+        thr = self.settings.skip_key_dup_threshold
+        kmer_gp, kmer_dupe, kmer_high = {}, {}, set()
+        for k, s0, c in zip(
+            self.uniq_keys.tolist(),
+            self.group_start.tolist(),
+            self.group_count.tolist(),
+        ):
+            if c == 1:
+                kmer_gp[k] = (int(self.se[s0, 1]), int(self.se[s0, 2]))
+            elif c <= thr:
+                kmer_dupe[k] = [
+                    (int(self.se[j, 1]), int(self.se[j, 2]))
+                    for j in range(s0, s0 + c)
+                ]
+            else:
+                kmer_high.add(k)
+        self._dicts = (kmer_gp, kmer_dupe, kmer_high)
+        return self._dicts
+
+    @property
+    def kmer_gp(self):
+        return self._build_dicts()[0]
+
+    @property
+    def kmer_dupe(self):
+        return self._build_dicts()[1]
+
+    @property
+    def kmer_high(self):
+        return self._build_dicts()[2]
 
     # ---------------- query (scalar oracle) ----------------
 
@@ -215,13 +246,14 @@ class Indexer:
 
         Returns None for a table miss ("bloom miss"), [] for a high-level
         dupe (skipped), else list of (contig, pos)."""
-        if kmer in self.kmer_gp:
-            return [self.kmer_gp[kmer]]
-        if kmer in self.kmer_dupe:
-            return self.kmer_dupe[kmer]
-        if kmer in self.kmer_high:
+        j = int(np.searchsorted(self.uniq_keys, np.uint32(kmer)))
+        if j >= len(self.uniq_keys) or int(self.uniq_keys[j]) != kmer:
+            return None
+        c = int(self.group_count[j])
+        if c > self.settings.skip_key_dup_threshold:
             return []
-        return None
+        s0 = int(self.group_start[j])
+        return [(int(self.se[i, 1]), int(self.se[i, 2])) for i in range(s0, s0 + c)]
 
     def map_read(self, seq: str) -> List[SeqMatch]:
         st = self.settings

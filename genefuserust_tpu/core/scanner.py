@@ -115,6 +115,31 @@ class Scanner:
         self.engine.scan_singles(mapper, reads)
         return self._finish(mapper)
 
+    def scan_pair_block(self, block) -> FusionMapper:
+        """Vectorized path over an io.fastq_block.PairBlock."""
+        mapper = FusionMapper(
+            self.contigs, self.fusion_file, self.settings, self.multi_csv_mode
+        )
+        if hasattr(self.engine, "scan_pair_block"):
+            self.engine.scan_pair_block(mapper, block)
+        else:
+            self.engine.scan_pairs(
+                mapper, (block.pair_obj(i) for i in range(len(block)))
+            )
+        return self._finish(mapper)
+
+    def scan_single_block(self, rblock) -> FusionMapper:
+        mapper = FusionMapper(
+            self.contigs, self.fusion_file, self.settings, self.multi_csv_mode
+        )
+        if hasattr(self.engine, "scan_single_block"):
+            self.engine.scan_single_block(mapper, rblock)
+        else:
+            self.engine.scan_singles(
+                mapper, (rblock.read_obj(i) for i in range(len(rblock)))
+            )
+        return self._finish(mapper)
+
     def _finish(self, mapper: FusionMapper) -> FusionMapper:
         mapper.filter_matches()
         mapper.sort_matches()

@@ -91,6 +91,8 @@ def scan(config: RunConfig, command: str) -> None:
     ext = Path(config.fusion_file).suffix
     engine = make_engine(config.engine, config.settings)
 
+    from .io.fastq_block import read_fastq_block, read_pair_block
+
     if ext == ".csv":
         contigs = fasta.read_all(config.ref_file, force_upper_case=False)
         scanner = Scanner(
@@ -104,19 +106,19 @@ def scan(config: RunConfig, command: str) -> None:
             command=command,
         )
         if config.r2_file:
-            scanner.scan_pairs(FastqReaderPair(config.r1_file, config.r2_file))
+            scanner.scan_pair_block(read_pair_block(config.r1_file, config.r2_file))
         else:
-            scanner.scan_singles(FastqReader(config.r1_file))
+            scanner.scan_single_block(read_fastq_block(config.r1_file))
         return
 
     # ---- multi-CSV mode (reference: fusion_scan.rs:62-188) ----
     contigs = fasta.read_all(config.ref_file, force_upper_case=False)
     log.info("Reading input seqeunces...")
     if config.r2_file:
-        pairs = list(FastqReaderPair(config.r1_file, config.r2_file))
+        pairs = read_pair_block(config.r1_file, config.r2_file)
         reads = None
     else:
-        reads = list(FastqReader(config.r1_file))
+        reads = read_fastq_block(config.r1_file)
         pairs = None
 
     csv_paths = _read_csv_list(config.fusion_file)
@@ -141,9 +143,9 @@ def scan(config: RunConfig, command: str) -> None:
                 command=command,
             )
             if pairs is not None:
-                scanner.scan_pairs(pairs)
+                scanner.scan_pair_block(pairs)
             else:
-                scanner.scan_singles(reads)
+                scanner.scan_single_block(reads)
     finally:
         logging.getLogger("genefuse").setLevel(prev_level)
 

@@ -1,0 +1,128 @@
+"""Block FASTQ reader: vectorized parsing into padded byte matrices.
+
+The per-record string reader (io/fastq.py) mirrors the reference's record
+semantics but costs ~µs/read in Python; this reader parses whole buffers
+with numpy (newline indexing + ragged-to-padded scatter) at memory
+bandwidth, producing the (B, L) uint8 matrices the device engine consumes.
+Record semantics are identical (4-line records, strip one trailing newline,
+1000-byte line cap, stop at the shorter file of a pair) — cross-checked in
+tests against the scalar reader.
+
+Names are kept as (start, end) offsets into the raw buffer and materialized
+lazily — only matched reads (rare) ever need them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import FASTQ_LINE_LIMIT
+
+
+@dataclasses.dataclass
+class ReadBlock:
+    """n reads: padded seq/qual matrices + per-read lengths + lazy names."""
+
+    buf: bytes  # raw file buffer (shared)
+    name_spans: np.ndarray  # (n, 2) int64 offsets into buf
+    seq: np.ndarray  # (n, L) uint8, zero-padded
+    qual: np.ndarray  # (n, L) uint8
+    lens: np.ndarray  # (n,) int32
+
+    def __len__(self) -> int:
+        return len(self.lens)
+
+    def name(self, i: int) -> str:
+        s, e = self.name_spans[i]
+        return self.buf[s:e].decode("latin-1")
+
+    def seq_str(self, i: int) -> str:
+        return self.seq[i, : self.lens[i]].tobytes().decode("latin-1")
+
+    def qual_str(self, i: int) -> str:
+        return self.qual[i, : self.lens[i]].tobytes().decode("latin-1")
+
+    def read_obj(self, i: int):
+        from ..core.read import SequenceRead
+
+        return SequenceRead(self.name(i), self.seq_str(i), "+", self.qual_str(i))
+
+
+def _ragged_to_padded(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, L: int
+) -> np.ndarray:
+    n = len(lens)
+    out = np.zeros((n, L), np.uint8)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    row = np.repeat(np.arange(n), lens)
+    within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    src = np.repeat(starts, lens) + within
+    out[row, within] = flat[src]
+    return out
+
+
+def parse_fastq_buffer(data: bytes) -> ReadBlock:
+    """Parse an entire FASTQ buffer into one ReadBlock."""
+    flat = np.frombuffer(data, np.uint8)
+    nl = np.nonzero(flat == 10)[0]
+    # line i spans [line_start[i], nl[i]); a trailing line without newline
+    # counts too (the scalar reader strips only a trailing '\n')
+    if len(data) and (len(nl) == 0 or nl[-1] != len(data) - 1):
+        nl = np.append(nl, len(data))
+    line_start = np.concatenate([[0], nl[:-1] + 1])
+    line_end = nl  # exclusive, newline stripped
+    n_lines = len(nl)
+    lengths = line_end - line_start
+    if np.any(lengths > FASTQ_LINE_LIMIT):
+        bad = int(np.argmax(lengths > FASTQ_LINE_LIMIT))
+        raise RuntimeError(
+            f"FASTQ line {bad} exceeds {FASTQ_LINE_LIMIT} bytes "
+            "(reference LimitedBufReader panics)"
+        )
+    n = n_lines // 4  # incomplete trailing record dropped (scalar: None)
+    if n == 0:
+        return ReadBlock(data, np.zeros((0, 2), np.int64), np.zeros((0, 1), np.uint8),
+                         np.zeros((0, 1), np.uint8), np.zeros(0, np.int32))
+    name_spans = np.stack(
+        [line_start[0 : 4 * n : 4], line_end[0 : 4 * n : 4]], axis=1
+    )
+    seq_starts = line_start[1 : 4 * n : 4]
+    seq_lens = (line_end[1 : 4 * n : 4] - seq_starts).astype(np.int32)
+    qual_starts = line_start[3 : 4 * n : 4]
+    qual_lens = (line_end[3 : 4 * n : 4] - qual_starts).astype(np.int32)
+    L = max(1, int(seq_lens.max()))
+    seq = _ragged_to_padded(flat, seq_starts, seq_lens, L)
+    Lq = max(L, int(qual_lens.max()))
+    qual = _ragged_to_padded(flat, qual_starts, qual_lens, Lq)[:, :L]
+    return ReadBlock(data, name_spans, seq, qual, seq_lens)
+
+
+def read_fastq_block(path: str) -> ReadBlock:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    return parse_fastq_buffer(data)
+
+
+@dataclasses.dataclass
+class PairBlock:
+    left: ReadBlock
+    right: ReadBlock
+
+    def __len__(self) -> int:
+        return min(len(self.left), len(self.right))
+
+    def pair_obj(self, i: int):
+        from ..core.read import SequenceReadPair
+
+        return SequenceReadPair(self.left.read_obj(i), self.right.read_obj(i))
+
+
+def read_pair_block(r1_path: str, r2_path: str) -> PairBlock:
+    return PairBlock(read_fastq_block(r1_path), read_fastq_block(r2_path))

@@ -33,14 +33,18 @@ _H2_ADD = np.uint32(0xC2B2AE35)
 
 
 def h1_np(kmers: np.ndarray, shift: int) -> np.ndarray:
-    return ((kmers.astype(np.uint32) * _H1_MUL) >> np.uint32(shift)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        return ((kmers.astype(np.uint32) * _H1_MUL) >> np.uint32(shift)).astype(
+            np.int64
+        )
 
 
 def h2_np(kmers: np.ndarray, shift: int) -> np.ndarray:
-    k = kmers.astype(np.uint32)
-    return (((k ^ (k >> np.uint32(15))) * _H2_MUL + _H2_ADD) >> np.uint32(shift)).astype(
-        np.int64
-    )
+    with np.errstate(over="ignore"):
+        k = kmers.astype(np.uint32)
+        return (
+            ((k ^ (k >> np.uint32(15))) * _H2_MUL + _H2_ADD) >> np.uint32(shift)
+        ).astype(np.int64)
 
 
 @dataclasses.dataclass
@@ -57,39 +61,52 @@ class PackedIndex:
 
 
 def pack_index(indexer) -> PackedIndex:
-    """Build the device table from a host core.indexer.Indexer."""
-    n_reg, n_dup, n_high = (
-        len(indexer.kmer_gp),
-        len(indexer.kmer_dupe),
-        len(indexer.kmer_high),
-    )
-    keys = np.empty(n_reg + n_dup + n_high, np.uint32)
-    contigs = np.empty(len(keys), np.int32)
-    poss = np.empty(len(keys), np.int32)
-    keys[:n_reg] = np.fromiter(indexer.kmer_gp.keys(), np.uint32, n_reg)
-    contigs[:n_reg] = np.fromiter(
-        (v[0] for v in indexer.kmer_gp.values()), np.int32, n_reg
-    )
-    poss[:n_reg] = np.fromiter(
-        (v[1] for v in indexer.kmer_gp.values()), np.int32, n_reg
-    )
-    keys[n_reg : n_reg + n_dup] = np.fromiter(indexer.kmer_dupe.keys(), np.uint32, n_dup)
-    contigs[n_reg : n_reg + n_dup] = DUPE
-    poss[n_reg : n_reg + n_dup] = np.arange(n_dup, dtype=np.int32)
-    keys[n_reg + n_dup :] = np.fromiter(indexer.kmer_high, np.uint32, n_high)
-    contigs[n_reg + n_dup :] = HIGH
-    poss[n_reg + n_dup :] = 0
+    """Build the device table from a host core.indexer.Indexer (fully
+    vectorized over the indexer's grouped-array representation)."""
+    thr = indexer.settings.skip_key_dup_threshold
+    counts = indexer.group_count
+    starts = indexer.group_start
+    uk = indexer.uniq_keys
+    se = indexer.se
 
-    max_dupe = max((len(v) for v in indexer.kmer_dupe.values()), default=1)
+    is_reg = counts == 1
+    is_dup = (counts > 1) & (counts <= thr)
+    is_high = counts > thr
+
+    reg_i = np.nonzero(is_reg)[0]
+    dup_i = np.nonzero(is_dup)[0]
+    high_i = np.nonzero(is_high)[0]
+    n_reg, n_dup, n_high = len(reg_i), len(dup_i), len(high_i)
+
+    keys = np.concatenate([uk[reg_i], uk[dup_i], uk[high_i]]).astype(np.uint32)
+    contigs = np.concatenate(
+        [
+            se[starts[reg_i], 1].astype(np.int32),
+            np.full(n_dup, DUPE, np.int32),
+            np.full(n_high, HIGH, np.int32),
+        ]
+    )
+    poss = np.concatenate(
+        [
+            se[starts[reg_i], 2].astype(np.int32),
+            np.arange(n_dup, dtype=np.int32),
+            np.zeros(n_high, np.int32),
+        ]
+    )
+
+    max_dupe = int(counts[dup_i].max()) if n_dup else 1
     dupes = np.full((max(1, n_dup), max_dupe, 2), EMPTY, np.int32)
     dupes[:, :, 1] = 0
-    for row, sites in enumerate(indexer.kmer_dupe.values()):
-        m = len(sites)
-        dupes[row, :m, 0] = [s[0] for s in sites]
-        dupes[row, :m, 1] = [s[1] for s in sites]
+    if n_dup:
+        d_off = np.arange(max_dupe)[None, :]
+        src = starts[dup_i][:, None] + d_off  # (n_dup, D)
+        valid = d_off < counts[dup_i][:, None]
+        src_c = np.clip(src, 0, len(se) - 1)
+        dupes[:, :, 0] = np.where(valid, se[src_c, 1], EMPTY).astype(np.int32)
+        dupes[:, :, 1] = np.where(valid, se[src_c, 2], 0).astype(np.int32)
 
     nb = 16
-    while nb * 4 < max(len(keys), 1):
+    while nb * 2 < max(len(keys), 1):
         nb *= 2
     while True:
         shift = 32 - int(round(np.log2(nb)))
@@ -116,15 +133,28 @@ def _place(order, buckets, fill, nb):
     return ob, bs, slots, ok
 
 
-def _build(keys, contigs, poss, nb, shift):
+def _build(keys, contigs, poss, nb, shift, rounds: int = 8):
+    """Iterative balanced 2-choice placement: each round sends pending keys
+    to the currently-emptier of their two buckets; repeated rounds converge
+    at load factors well above what single-pass overflow tolerates."""
     table = np.zeros((nb, SLOTS, 3), np.int32)
     table[:, :, 1] = EMPTY
     fill = np.zeros(nb, np.int64)
     pending = np.arange(len(keys))
-    for hf in (h1_np, h2_np):
+    b1_all = h1_np(keys, shift)
+    b2_all = h2_np(keys, shift)
+    for r in range(rounds):
         if len(pending) == 0:
             break
-        buckets = hf(keys, shift)
+        b1 = b1_all[pending]
+        b2 = b2_all[pending]
+        # alternate preference on ties/rounds to break livelock
+        if r % 2 == 0:
+            choose = np.where(fill[b1] <= fill[b2], b1, b2)
+        else:
+            choose = np.where(fill[b2] <= fill[b1], b2, b1)
+        buckets = np.empty(len(keys), np.int64)
+        buckets[pending] = choose
         ob, bs, slots, ok = _place(pending, buckets, fill, nb)
         put = ob[ok]
         pb, ps = bs[ok], slots[ok]
@@ -134,8 +164,46 @@ def _build(keys, contigs, poss, nb, shift):
         np.add.at(fill, pb, 1)
         pending = ob[~ok]
     if len(pending):
-        return None
+        # tiny residue with both buckets full: cuckoo eviction random walk
+        if len(pending) > 4096:
+            return None
+        for i in pending.tolist():
+            if not _cuckoo_insert(
+                table, fill, int(keys[i]), int(contigs[i]), int(poss[i]), shift
+            ):
+                return None
     return table
+
+
+def _alt_bucket(key: int, bucket: int, shift: int) -> int:
+    k = np.uint32(key)
+    b1 = int(h1_np(k, shift))
+    b2 = int(h2_np(k, shift))
+    return b2 if bucket == b1 else b1
+
+
+def _key_i32(key: int) -> int:
+    """u32 key value -> int32 bit pattern (table storage form)."""
+    return key - (1 << 32) if key >= (1 << 31) else key
+
+
+def _cuckoo_insert(table, fill, key, contig, pos, shift, max_kicks: int = 500):
+    rng = np.random.default_rng(np.uint32(key))
+    cur = (key & 0xFFFFFFFF, contig, pos)
+    bucket = int(h1_np(np.uint32(key), shift))
+    for _ in range(max_kicks):
+        for b in (bucket, _alt_bucket(cur[0], bucket, shift)):
+            if fill[b] < SLOTS:
+                table[b, int(fill[b])] = (_key_i32(cur[0]), cur[1], cur[2])
+                fill[b] += 1
+                return True
+        # evict a random occupant of `bucket` and take its slot
+        s = int(rng.integers(SLOTS))
+        victim = tuple(int(v) for v in table[bucket, s])
+        table[bucket, s] = (_key_i32(cur[0]), cur[1], cur[2])
+        cur = (victim[0] & 0xFFFFFFFF, victim[1], victim[2])
+        bucket = _alt_bucket(cur[0], bucket, shift)
+    return False
 
 
 def lookup_np(packed: PackedIndex, kmers: np.ndarray):

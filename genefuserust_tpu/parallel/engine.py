@@ -3,7 +3,7 @@
 Replaces the reference's producer/consumer thread pipeline
 (src/core/pescanner.rs:296-425) with a batched device pipeline:
 
-  host: FASTQ -> padded byte arrays (tokenization, RC of R2)
+  host: FASTQ -> padded byte matrices (block reader, vectorized)
   device: merge_batch (ops/merge.py)
   host: lane compaction (merged pairs -> 1 lane, unmerged -> R1+R2 lanes)
   device: map_read_batch (ops/map_read.py) over all lanes
@@ -21,7 +21,7 @@ tests/test_engine_equality.py); only the schedule differs.
 from __future__ import annotations
 
 import logging
-from typing import Iterable, List, Optional, Tuple
+from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -47,10 +47,27 @@ def _tokenize_bytes(strings: List[bytes], L: int) -> Tuple[np.ndarray, np.ndarra
     return arr, lens
 
 
+def _rc_rows(seq: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row reverse complement of padded byte rows (vectorized)."""
+    n, L = seq.shape
+    idx = lens[:, None] - 1 - np.arange(L)[None, :]
+    valid = idx >= 0
+    gathered = np.take_along_axis(seq, np.clip(idx, 0, L - 1), axis=1)
+    return np.where(valid, COMPLEMENT_LUT[gathered], 0).astype(np.uint8)
+
+
+def _rev_rows(q: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    n, L = q.shape
+    idx = lens[:, None] - 1 - np.arange(L)[None, :]
+    valid = idx >= 0
+    gathered = np.take_along_axis(q, np.clip(idx, 0, L - 1), axis=1)
+    return np.where(valid, gathered, 0).astype(np.uint8)
+
+
 class TpuEngine:
     """Batched engine; device selection follows JAX's default backend."""
 
-    def __init__(self, settings: Settings, batch_size: int = 1024):
+    def __init__(self, settings: Settings, batch_size: int = 4096):
         self.settings = settings
         self.batch_size = batch_size
         self._prepared_for = None
@@ -77,7 +94,7 @@ class TpuEngine:
             self._packed.nbytes / 1e6,
         )
 
-    # ------------- public API -------------
+    # ------------- public API: object streams -------------
 
     def scan_pairs(self, mapper, pairs: Iterable) -> None:
         self._prepare(mapper)
@@ -85,10 +102,10 @@ class TpuEngine:
         for pair in pairs:
             batch.append(pair)
             if len(batch) >= self.batch_size:
-                self._process_pair_batch(mapper, batch)
+                self._pairs_from_objects(mapper, batch)
                 batch = []
         if batch:
-            self._process_pair_batch(mapper, batch)
+            self._pairs_from_objects(mapper, batch)
 
     def scan_singles(self, mapper, reads: Iterable) -> None:
         self._prepare(mapper)
@@ -96,42 +113,87 @@ class TpuEngine:
         for r in reads:
             batch.append(r)
             if len(batch) >= self.batch_size:
-                self._process_single_batch(mapper, batch)
+                self._singles_from_objects(mapper, batch)
                 batch = []
         if batch:
-            self._process_single_batch(mapper, batch)
+            self._singles_from_objects(mapper, batch)
 
-    # ------------- batch processing -------------
+    # ------------- public API: block matrices -------------
 
-    def _process_pair_batch(self, mapper, pairs: List) -> None:
+    def scan_pair_block(self, mapper, block) -> None:
+        """block: io.fastq_block.PairBlock."""
+        self._prepare(mapper)
+        n = len(block)
+        lb, rb = block.left, block.right
+        for s in range(0, n, self.batch_size):
+            e = min(n, s + self.batch_size)
+            sl = slice(s, e)
+            self._scan_pair_matrices(
+                mapper,
+                lb.seq[sl],
+                lb.qual[sl],
+                lb.lens[sl],
+                rb.seq[sl],
+                rb.qual[sl],
+                rb.lens[sl],
+                lambda i, s=s: (
+                    block.left.read_obj(s + i),
+                    block.right.read_obj(s + i),
+                ),
+                lambda i, s=s: block.left.name(s + i),
+            )
+
+    def scan_single_block(self, mapper, rblock) -> None:
+        self._prepare(mapper)
+        n = len(rblock)
+        for s in range(0, n, self.batch_size):
+            e = min(n, s + self.batch_size)
+            sl = slice(s, e)
+            self._scan_single_matrices(
+                mapper,
+                rblock.seq[sl],
+                rblock.lens[sl],
+                lambda i, s=s: rblock.read_obj(s + i),
+            )
+
+    # ------------- object adapters -------------
+
+    def _pairs_from_objects(self, mapper, pairs: List) -> None:
+        Lr = _round_up(
+            max(KMER, max(max(len(p.left.seq), len(p.right.seq)) for p in pairs)), 32
+        )
+        b1, l1 = _tokenize_bytes([p.left.seq.encode("latin-1") for p in pairs], Lr)
+        q1, _ = _tokenize_bytes([p.left.quality.encode("latin-1") for p in pairs], Lr)
+        b2, l2 = _tokenize_bytes([p.right.seq.encode("latin-1") for p in pairs], Lr)
+        q2, _ = _tokenize_bytes([p.right.quality.encode("latin-1") for p in pairs], Lr)
+        self._scan_pair_matrices(
+            mapper,
+            b1,
+            q1,
+            l1,
+            b2,
+            q2,
+            l2,
+            lambda i: (pairs[i].left, pairs[i].right),
+            lambda i: pairs[i].left.name,
+        )
+
+    def _singles_from_objects(self, mapper, reads: List) -> None:
+        Lr = _round_up(max(KMER, max(len(r.seq) for r in reads)), 32)
+        rows, lens = _tokenize_bytes([r.seq.encode("latin-1") for r in reads], Lr)
+        self._scan_single_matrices(mapper, rows, lens, lambda i: reads[i])
+
+    # ------------- core batch processing -------------
+
+    def _scan_pair_matrices(
+        self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable, left_name: Callable
+    ) -> None:
         import jax.numpy as jnp
 
         from ..ops.merge import merge_batch
 
-        B = len(pairs)
-        Lr = _round_up(
-            max(
-                KMER,
-                max(max(len(p.left.seq), len(p.right.seq)) for p in pairs),
-            ),
-            32,
-        )
-        b1, l1 = _tokenize_bytes([p.left.seq.encode("latin-1") for p in pairs], Lr)
-        q1, _ = _tokenize_bytes([p.left.quality.encode("latin-1") for p in pairs], Lr)
-        # RC(right): complement LUT + per-row reverse of the true read span
-        b2r, l2 = _tokenize_bytes(
-            [
-                COMPLEMENT_LUT[
-                    np.frombuffer(p.right.seq.encode("latin-1"), np.uint8)
-                ][::-1].tobytes()
-                for p in pairs
-            ],
-            Lr,
-        )
-        q2r, _ = _tokenize_bytes(
-            [p.right.quality.encode("latin-1")[::-1] for p in pairs], Lr
-        )
-
+        b2r = _rc_rows(b2, l2)
+        q2r = _rev_rows(q2, l2)
         mr = merge_batch(
             jnp.asarray(b1),
             jnp.asarray(q1),
@@ -146,56 +208,74 @@ class TpuEngine:
         m_len = np.asarray(mr.out_len)
         m_diff = np.asarray(mr.diff)
 
-        # ---- lane compaction ----
-        lane_rows: List[np.ndarray] = []
-        lane_lens: List[int] = []
-        lane_meta: List[Tuple[int, int]] = []  # (pair_idx, lane: 0=m,1=r1,2=r2)
         midx = np.nonzero(merged)[0]
         uidx = np.nonzero(~merged)[0]
-        for i in midx.tolist():
-            lane_rows.append(m_seq[i])
-            lane_lens.append(int(m_len[i]))
-            lane_meta.append((i, 0))
-        for i in uidx.tolist():
-            lane_rows.append(b1[i])
-            lane_lens.append(int(l1[i]))
-            lane_meta.append((i, 1))
-            lane_rows.append(b2r[i])  # note: raw R2 maps as its own read...
-            lane_lens.append(int(l2[i]))
-            lane_meta.append((i, 2))
-        # R2 must be mapped in ORIGINAL orientation (pescanner.rs:496), not
-        # RC; rebuild those rows from the original bytes.
-        k = len(midx)
-        for j, i in enumerate(uidx.tolist()):
-            row = np.zeros(Lr, np.uint8)
-            rb = pairs[i].right.seq.encode("latin-1")
-            row[: len(rb)] = np.frombuffer(rb, np.uint8)
-            lane_rows[k + 2 * j + 1] = row
-
-        self._map_and_assemble(
-            mapper, pairs, lane_rows, lane_lens, lane_meta, m_qual, m_diff, m_len
+        n_m, n_u = len(midx), len(uidx)
+        Lmap = _round_up(
+            max(
+                KMER,
+                int(m_len[midx].max()) if n_m else KMER,
+                int(l1[uidx].max()) if n_u else KMER,
+                int(l2[uidx].max()) if n_u else KMER,
+            ),
+            32,
+        )
+        n_rows = n_m + 2 * n_u
+        rows = np.zeros((n_rows, Lmap), np.uint8)
+        lens = np.zeros(n_rows, np.int32)
+        Lc = min(Lmap, m_seq.shape[1])
+        rows[:n_m, :Lc] = m_seq[midx, :Lc]
+        lens[:n_m] = m_len[midx]
+        Lc = min(Lmap, b1.shape[1])
+        rows[n_m : n_m + n_u, :Lc] = b1[uidx, :Lc]
+        lens[n_m : n_m + n_u] = l1[uidx]
+        rows[n_m + n_u :, :Lc] = b2[uidx, :Lc]
+        lens[n_m + n_u :] = l2[uidx]
+        # meta: pair index + lane tag per row
+        meta_pair = np.concatenate([midx, uidx, uidx]).astype(np.int64)
+        meta_lane = np.concatenate(
+            [
+                np.zeros(n_m, np.int8),
+                np.ones(n_u, np.int8),
+                np.full(n_u, 2, np.int8),
+            ]
         )
 
-    def _process_single_batch(self, mapper, reads: List) -> None:
-        Lr = _round_up(max(KMER, max(len(r.seq) for r in reads)), 32)
-        lane_rows = []
-        lane_lens = []
-        lane_meta = []
-        for i, r in enumerate(reads):
-            row = np.zeros(Lr, np.uint8)
-            rb = r.seq.encode("latin-1")
-            row[: len(rb)] = np.frombuffer(rb, np.uint8)
-            lane_rows.append(row)
-            lane_lens.append(len(rb))
-            lane_meta.append((i, 1))
-        self._map_and_assemble(
-            mapper, [(r,) for r in reads], lane_rows, lane_lens, lane_meta, None, None, None,
-            single=True,
+        def read_obj(j: int) -> SequenceRead:
+            i = int(meta_pair[j])
+            lane = int(meta_lane[j])
+            if lane == 0:
+                n = int(lens[j])
+                return SequenceRead(
+                    f"{left_name(i)} merged_diff_{int(m_diff[i])}",
+                    rows[j, :n].tobytes().decode("latin-1"),
+                    "+",
+                    m_qual[i, :n].tobytes().decode("latin-1"),
+                )
+            lr = pair_obj(i)
+            return lr[0] if lane == 1 else lr[1]
+
+        def originals(j: int) -> List[SequenceRead]:
+            return list(pair_obj(int(meta_pair[j])))
+
+        self._assemble(mapper, rows, lens, read_obj, originals, meta_lane)
+
+    def _scan_single_matrices(self, mapper, rows, lens, read_at: Callable) -> None:
+        rows = np.ascontiguousarray(rows)
+        lens = np.asarray(lens, np.int32)
+        meta_lane = np.ones(len(lens), np.int8)
+        self._assemble(
+            mapper,
+            rows,
+            lens,
+            lambda j: read_at(j),
+            lambda j: [read_at(j)],
+            meta_lane,
         )
 
     # ------------- map + assemble -------------
 
-    def _run_map(self, mapper, rows: np.ndarray, lens: np.ndarray):
+    def _run_map(self, rows: np.ndarray, lens: np.ndarray):
         import jax.numpy as jnp
 
         from ..ops.map_read import map_read_batch
@@ -221,83 +301,48 @@ class TpuEngine:
             np.asarray(res.seg_pos),
         )
 
-    def _map_and_assemble(
-        self,
-        mapper,
-        pairs,
-        lane_rows,
-        lane_lens,
-        lane_meta,
-        m_qual,
-        m_diff,
-        m_len,
-        single: bool = False,
+    def _assemble(
+        self, mapper, rows, lens, read_obj: Callable, originals: Callable, meta_lane
     ) -> None:
-        if not lane_rows:
+        if len(lens) == 0:
             return
-        Lmap = _round_up(max(KMER, max(lane_lens)), 32)
-        rows = np.zeros((len(lane_rows), Lmap), np.uint8)
-        for j, r in enumerate(lane_rows):
-            n = lane_lens[j]
-            rows[j, :n] = r[:n]
-        lens = np.asarray(lane_lens, np.int32)
-        sv, ss, se, sc, sp = self._run_map(mapper, rows, lens)
-
-        def read_obj(j: int) -> SequenceRead:
-            i, lane = lane_meta[j]
-            if lane == 0:
-                n = lane_lens[j]
-                seq = rows[j, :n].tobytes().decode("latin-1")
-                qual = m_qual[i, :n].tobytes().decode("latin-1")
-                name = f"{pairs[i].left.name} merged_diff_{int(m_diff[i])}"
-                return SequenceRead(name, seq, "+", qual)
-            if single:
-                return pairs[i][0]
-            return pairs[i].left if lane == 1 else pairs[i].right
-
-        def originals(i: int) -> List[SequenceRead]:
-            if single:
-                return [pairs[i][0]]
-            return [pairs[i].left, pairs[i].right]
-
-        retry: List[Tuple[int, SequenceRead]] = []  # (meta_idx, rc_read)
-        for j in range(len(lane_rows)):
-            if not (sv[j, 0] and sv[j, 1]):
-                continue  # <2 segments -> not mapable -> no retry
+        sv, ss, se, sc, sp = self._run_map(rows, lens)
+        hits = np.nonzero(sv[:, 0] & sv[:, 1])[0]
+        retry: List[Tuple[int, SequenceRead]] = []
+        for j in hits.tolist():
             mapping = [
-                SeqMatch(int(ss[j, t]), int(se[j, t]), GenePos(int(sc[j, t]), int(sp[j, t])))
+                SeqMatch(
+                    int(ss[j, t]), int(se[j, t]), GenePos(int(sc[j, t]), int(sp[j, t]))
+                )
                 for t in range(2)
             ]
             if mapper.indexer.in_required_direction(mapping):
                 r = read_obj(j)
                 m = mapper.make_match(r, mapping)
-                i, lane = lane_meta[j]
-                m.original_reads = originals(i)
+                m.original_reads = originals(j)
                 mapper.add_match(m)
             else:
                 retry.append((j, read_obj(j).reverse_complement()))
 
         if not retry:
             return
-        # ---- RC retry (direction-rejected rows only) ----
         Lr2 = _round_up(max(KMER, max(len(r.seq) for _, r in retry)), 32)
-        rrows, rlens = _tokenize_bytes(
-            [r.seq.encode("latin-1") for _, r in retry], Lr2
-        )
-        sv, ss, se, sc, sp = self._run_map(mapper, rrows, rlens)
+        rrows, rlens = _tokenize_bytes([r.seq.encode("latin-1") for _, r in retry], Lr2)
+        sv, ss, se, sc, sp = self._run_map(rrows, rlens)
         for k, (j, rc_read) in enumerate(retry):
             if not (sv[k, 0] and sv[k, 1]):
                 continue
             mapping = [
-                SeqMatch(int(ss[k, t]), int(se[k, t]), GenePos(int(sc[k, t]), int(sp[k, t])))
+                SeqMatch(
+                    int(ss[k, t]), int(se[k, t]), GenePos(int(sc[k, t]), int(sp[k, t]))
+                )
                 for t in range(2)
             ]
             if not mapper.indexer.in_required_direction(mapping):
                 continue
             m = mapper.make_match(rc_read, mapping)
-            i, lane = lane_meta[j]
-            m.original_reads = originals(i)
-            if lane != 0:
+            m.original_reads = originals(j)
+            if int(meta_lane[j]) != 0:
                 # merged-lane RC matches keep reversed=False
                 # (faithful: pescanner.rs:465-468 vs :487-490)
                 m.reversed = True
