@@ -174,7 +174,7 @@ def main():
     lut = jnp.asarray(BASE_CODE_LUT)
 
     @jax.jit
-    def step(b1, q1, l1, b2, b2r, q2r, l2):
+    def step(b1, q1, l1, b2, b2r, q2r, l2, table, dupes):
         mr = merge_batch(b1, q1, l1, b2r, q2r, l2)
         m_codes = jnp.take(lut, mr.out_seq.astype(jnp.int32), axis=0)
         m_len = jnp.where(mr.merged, mr.out_len, 0)
@@ -218,7 +218,7 @@ def main():
     da = [
         jax.device_put(jnp.asarray(x), dev)
         for x in (b1, q1, lens, b2, b2r, q2r, lens)
-    ]
+    ] + [table, dupes]
     t0 = time.time()
     out = step(*da)
     jax.block_until_ready(out)

@@ -55,6 +55,7 @@ from ..config import (
     THRESHOLD_LEN,
 )
 from ..models.fusion import Fusion
+from .. import native
 from .sequence import encode_bases, reverse_complement
 
 log = logging.getLogger("genefuse")
@@ -173,15 +174,23 @@ class Indexer:
             s = self.contigs[chrom][gene.start : gene.end].upper()
             for seq, start in ((s, 0), (reverse_complement(s), 1 - len(s))):
                 codes = encode_bases(seq)
-                km, valid = rolling_kmers(codes)
                 # EXCLUDE the final k-mer (reference off-by-one, indexer.rs:188)
-                if len(km) > 0:
-                    km, valid = km[:-1], valid[:-1]
-                idx = np.nonzero(valid)[0]
-                ent = np.empty((len(idx), 3), np.int64)
-                ent[:, 0] = km[idx].astype(np.int64)
-                ent[:, 1] = ctg
-                ent[:, 2] = idx + start
+                nat = native.rolling_entries(codes, ctg, start, exclude_last=True)
+                if nat is not None:
+                    k, c, p = nat
+                    ent = np.empty((len(k), 3), np.int64)
+                    ent[:, 0] = k
+                    ent[:, 1] = c
+                    ent[:, 2] = p
+                else:
+                    km, valid = rolling_kmers(codes)
+                    if len(km) > 0:
+                        km, valid = km[:-1], valid[:-1]
+                    idx = np.nonzero(valid)[0]
+                    ent = np.empty((len(idx), 3), np.int64)
+                    ent[:, 0] = km[idx].astype(np.int64)
+                    ent[:, 1] = ctg
+                    ent[:, 2] = idx + start
                 all_entries.append(ent)
             self.fusion_seq.append(s)
 
@@ -191,12 +200,21 @@ class Indexer:
             entries = np.zeros((0, 3), np.int64)
 
         # group by kmer preserving insertion order (stable sort)
-        order = np.argsort(entries[:, 0], kind="stable")
+        order = native.stable_argsort_kmers(entries[:, 0].astype(np.uint32))
+        if order is None:
+            order = np.argsort(entries[:, 0], kind="stable")
         self.se = entries[order]
-        uniq, starts, counts = np.unique(
-            self.se[:, 0], return_index=True, return_counts=True
-        )
-        self.uniq_keys = uniq.astype(np.uint32)
+        sk = self.se[:, 0]
+        if len(sk):
+            # se is already kmer-sorted: group boundaries by adjacency
+            first = np.concatenate([[True], sk[1:] != sk[:-1]])
+            starts = np.nonzero(first)[0]
+            counts = np.diff(np.append(starts, len(sk)))
+            self.uniq_keys = sk[starts].astype(np.uint32)
+        else:
+            starts = np.zeros(0, np.int64)
+            counts = np.zeros(0, np.int64)
+            self.uniq_keys = np.zeros(0, np.uint32)
         self.group_start = starts.astype(np.int64)
         self.group_count = counts.astype(np.int64)
         self.unique_pos = int(np.count_nonzero(counts == 1))

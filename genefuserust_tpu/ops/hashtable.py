@@ -105,12 +105,16 @@ def pack_index(indexer) -> PackedIndex:
         dupes[:, :, 0] = np.where(valid, se[src_c, 1], EMPTY).astype(np.int32)
         dupes[:, :, 1] = np.where(valid, se[src_c, 2], 0).astype(np.int32)
 
+    from .. import native
+
     nb = 16
     while nb * 2 < max(len(keys), 1):
         nb *= 2
     while True:
         shift = 32 - int(round(np.log2(nb)))
-        table = _build(keys, contigs, poss, nb, shift)
+        table = native.pack_table(keys, contigs, poss, nb, shift, SLOTS, EMPTY)
+        if table is None:
+            table = _build(keys, contigs, poss, nb, shift)
         if table is not None:
             return PackedIndex(table, dupes, nb, shift, max_dupe)
         nb *= 2
