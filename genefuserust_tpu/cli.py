@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="tpu",
         help="compute engine: batched TPU/JAX pipeline (default) or scalar host oracle",
     )
+    p.add_argument(
+        "--index-cache",
+        default="",
+        help="directory for the on-disk panel index cache (speeds up repeat "
+        "runs; results are identical)",
+    )
     return p
 
 
@@ -93,6 +99,7 @@ def main(argv=None) -> int:
             output_untranslated=args.output_untranslated_fusions,
         ),
         engine=args.engine,
+        index_cache_dir=args.index_cache,
     )
     genefuse(config)
     return 0

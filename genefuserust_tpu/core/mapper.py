@@ -69,12 +69,26 @@ class FusionMapper:
         fusion_file: str,
         settings: Settings = Settings(),
         multi_csv_mode: bool = False,
+        index_cache_dir: str = "",
+        ref_file: str = "",
     ):
         self.settings = settings
         self.multi_csv_mode = multi_csv_mode
         self.fusion_list = Fusion.parse_csv(fusion_file)
         self.indexer = Indexer(contigs, self.fusion_list, settings)
-        self.indexer.make_index()
+        cached = False
+        if index_cache_dir and ref_file:
+            from ..utils import index_cache
+
+            cached = index_cache.load(index_cache_dir, ref_file, fusion_file, self.indexer)
+        if not cached:
+            self.indexer.make_index()
+            if index_cache_dir and ref_file:
+                from ..utils import index_cache
+
+                index_cache.save(
+                    index_cache_dir, ref_file, fusion_file, self.indexer
+                )
         self.contigs = contigs
         n = len(self.fusion_list)
         self.fusion_matches: List[List[ReadMatch]] = [[] for _ in range(n * n)]

@@ -91,6 +91,8 @@ class Scanner:
         engine=None,
         multi_csv_mode: bool = False,
         command: str = "",
+        index_cache_dir: str = "",
+        ref_file: str = "",
     ):
         self.fusion_file = fusion_file
         self.contigs = contigs
@@ -100,17 +102,29 @@ class Scanner:
         self.engine = engine or HostEngine()
         self.multi_csv_mode = multi_csv_mode
         self.command = command
+        self.index_cache_dir = index_cache_dir
+        self.ref_file = ref_file
 
     def scan_pairs(self, pairs: Iterable[SequenceReadPair]) -> FusionMapper:
         mapper = FusionMapper(
-            self.contigs, self.fusion_file, self.settings, self.multi_csv_mode
+            self.contigs,
+            self.fusion_file,
+            self.settings,
+            self.multi_csv_mode,
+            self.index_cache_dir,
+            self.ref_file,
         )
         self.engine.scan_pairs(mapper, pairs)
         return self._finish(mapper)
 
     def scan_singles(self, reads: Iterable[SequenceRead]) -> FusionMapper:
         mapper = FusionMapper(
-            self.contigs, self.fusion_file, self.settings, self.multi_csv_mode
+            self.contigs,
+            self.fusion_file,
+            self.settings,
+            self.multi_csv_mode,
+            self.index_cache_dir,
+            self.ref_file,
         )
         self.engine.scan_singles(mapper, reads)
         return self._finish(mapper)
@@ -118,7 +132,12 @@ class Scanner:
     def scan_pair_block(self, block) -> FusionMapper:
         """Vectorized path over an io.fastq_block.PairBlock."""
         mapper = FusionMapper(
-            self.contigs, self.fusion_file, self.settings, self.multi_csv_mode
+            self.contigs,
+            self.fusion_file,
+            self.settings,
+            self.multi_csv_mode,
+            self.index_cache_dir,
+            self.ref_file,
         )
         if hasattr(self.engine, "scan_pair_block"):
             self.engine.scan_pair_block(mapper, block)
@@ -130,7 +149,12 @@ class Scanner:
 
     def scan_single_block(self, rblock) -> FusionMapper:
         mapper = FusionMapper(
-            self.contigs, self.fusion_file, self.settings, self.multi_csv_mode
+            self.contigs,
+            self.fusion_file,
+            self.settings,
+            self.multi_csv_mode,
+            self.index_cache_dir,
+            self.ref_file,
         )
         if hasattr(self.engine, "scan_single_block"):
             self.engine.scan_single_block(mapper, rblock)

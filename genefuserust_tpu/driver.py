@@ -33,6 +33,7 @@ class RunConfig:
     thread_num: int = 4
     settings: Settings = dataclasses.field(default_factory=Settings)
     engine: str = "tpu"
+    index_cache_dir: str = ""
 
 
 def init_logger() -> None:
@@ -104,6 +105,8 @@ def scan(config: RunConfig, command: str) -> None:
             engine,
             multi_csv_mode=False,
             command=command,
+            index_cache_dir=config.index_cache_dir,
+            ref_file=config.ref_file,
         )
         if config.r2_file:
             scanner.scan_pair_block(read_pair_block(config.r1_file, config.r2_file))
@@ -141,6 +144,8 @@ def scan(config: RunConfig, command: str) -> None:
                 engine,
                 multi_csv_mode=True,
                 command=command,
+                index_cache_dir=config.index_cache_dir,
+                ref_file=config.ref_file,
             )
             if pairs is not None:
                 scanner.scan_pair_block(pairs)
