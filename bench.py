@@ -166,7 +166,8 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     packed, _ = get_packed(args.panel_mbp)
-    table = jax.device_put(jnp.asarray(packed.table), dev)
+    keys_tbl = jax.device_put(jnp.asarray(packed.keys_tbl), dev)
+    vals_tbl = jax.device_put(jnp.asarray(packed.vals_tbl), dev)
     dupes = jax.device_put(jnp.asarray(packed.dupes), dev)
 
     B = args.batch
@@ -174,19 +175,20 @@ def main():
     lut = jnp.asarray(BASE_CODE_LUT)
 
     @jax.jit
-    def step(b1, q1, l1, b2, b2r, q2r, l2, table, dupes):
+    def step(b1, q1, l1, b2, b2r, q2r, l2, keys_tbl, vals_tbl, dupes):
         mr = merge_batch(b1, q1, l1, b2r, q2r, l2)
         m_codes = jnp.take(lut, mr.out_seq.astype(jnp.int32), axis=0)
         m_len = jnp.where(mr.merged, mr.out_len, 0)
         res_m = map_read_batch(
-            m_codes, m_len, table, dupes, packed.shift, packed.max_dupe
+            m_codes, m_len, keys_tbl, vals_tbl, dupes, packed.shift, packed.max_dupe
         )
         r1_codes = jnp.take(lut, b1.astype(jnp.int32), axis=0)
         r2_codes = jnp.take(lut, b2.astype(jnp.int32), axis=0)
         res_1 = map_read_batch(
             r1_codes,
             jnp.where(mr.merged, 0, l1),
-            table,
+            keys_tbl,
+            vals_tbl,
             dupes,
             packed.shift,
             packed.max_dupe,
@@ -194,7 +196,8 @@ def main():
         res_2 = map_read_batch(
             r2_codes,
             jnp.where(mr.merged, 0, l2),
-            table,
+            keys_tbl,
+            vals_tbl,
             dupes,
             packed.shift,
             packed.max_dupe,
@@ -218,7 +221,7 @@ def main():
     da = [
         jax.device_put(jnp.asarray(x), dev)
         for x in (b1, q1, lens, b2, b2r, q2r, lens)
-    ] + [table, dupes]
+    ] + [keys_tbl, vals_tbl, dupes]
     t0 = time.time()
     out = step(*da)
     jax.block_until_ready(out)

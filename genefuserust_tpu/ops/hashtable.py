@@ -49,15 +49,39 @@ def h2_np(kmers: np.ndarray, shift: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class PackedIndex:
-    table: np.ndarray  # (n_buckets, SLOTS, 3) int32
+    table: np.ndarray  # (n_buckets, SLOTS, 3) int32 (combined; build form)
     dupes: np.ndarray  # (n_dupe_rows, D, 2) int32
     n_buckets: int
     shift: int  # 32 - log2(n_buckets)
     max_dupe: int  # D
+    # device lookup form: keys separated from values so the hot probe only
+    # gathers 4-byte keys; empty slots hold a key value NOT present in the
+    # panel (false "found" then resolves to an EMPTY value -> no candidates)
+    keys_tbl: np.ndarray = None  # (n_buckets, SLOTS) int32
+    vals_tbl: np.ndarray = None  # (n_buckets*SLOTS, 2) int32
+    empty_key: int = 0
+
+    def __post_init__(self):
+        if self.keys_tbl is None:
+            empty = self.table[:, :, 1] == EMPTY
+            keys = self.table[:, :, 0].copy()
+            sentinel = _absent_key(self.table[:, :, 0][~empty])
+            keys[empty] = np.int32(sentinel - (1 << 32) if sentinel >= 1 << 31 else sentinel)
+            self.keys_tbl = keys
+            vals = self.table[:, :, 1:].reshape(-1, 2).copy()
+            self.empty_key = sentinel
+            self.vals_tbl = vals
 
     @property
     def nbytes(self) -> int:
-        return self.table.nbytes + self.dupes.nbytes
+        return self.keys_tbl.nbytes + self.vals_tbl.nbytes + self.dupes.nbytes
+
+
+def _absent_key(present: np.ndarray) -> int:
+    """Smallest uint32 not present in `present` (as u32 values)."""
+    u = np.unique(present.astype(np.int64) & 0xFFFFFFFF)
+    gaps = np.nonzero(u != np.arange(len(u)))[0]
+    return int(gaps[0]) if len(gaps) else len(u)
 
 
 def pack_index(indexer) -> PackedIndex:

@@ -72,23 +72,35 @@ def compute_kmers(codes: jnp.ndarray, lengths: jnp.ndarray):
 
 
 def hash_lookup(table: jnp.ndarray, shift: int, kmers: jnp.ndarray, valid: jnp.ndarray):
-    """-> (contig, pos) int32, contig==EMPTY for miss/invalid."""
+    """-> (contig, pos) int32, contig==EMPTY for miss/invalid.
+
+    Two-step gather to minimize HBM elements moved: (1) key-only rows from
+    both candidate buckets, (2) the single matched slot's (contig, pos)
+    pair via a flat-indexed gather. `table` here is the pair
+    (keys (nb, S) int32, vals (nb*S, 2) int32)."""
+    keys_tbl, vals_tbl = table
+    S = keys_tbl.shape[1]
     ki = kmers.astype(jnp.int32)
-    out_c = jnp.full(kmers.shape, EMPTY, jnp.int32)
-    out_p = jnp.zeros(kmers.shape, jnp.int32)
     k = kmers
-    b1 = (k * jnp.uint32(0x9E3779B1)) >> shift
-    b2 = ((k ^ (k >> 15)) * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35)) >> shift
-    for b in (b1, b2):
-        rows = jnp.take(table, b.astype(jnp.int32), axis=0)  # (..., SLOTS, 3)
-        match = (rows[..., 0] == ki[..., None]) & (rows[..., 1] != EMPTY)
-        any_m = jnp.any(match, axis=-1)
-        slot = jnp.argmax(match, axis=-1)
-        sel = jnp.take_along_axis(rows, slot[..., None, None], axis=-2)[..., 0, :]
-        upd = any_m & (out_c == EMPTY)
-        out_c = jnp.where(upd, sel[..., 1], out_c)
-        out_p = jnp.where(upd, sel[..., 2], out_p)
-    out_c = jnp.where(valid, out_c, EMPTY)
+    b1 = ((k * jnp.uint32(0x9E3779B1)) >> shift).astype(jnp.int32)
+    b2 = (
+        ((k ^ (k >> 15)) * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35)) >> shift
+    ).astype(jnp.int32)
+    k1 = jnp.take(keys_tbl, b1, axis=0)  # (..., S)
+    k2 = jnp.take(keys_tbl, b2, axis=0)
+    m1 = k1 == ki[..., None]
+    m2 = k2 == ki[..., None]
+    f1 = jnp.any(m1, axis=-1)
+    f2 = jnp.any(m2, axis=-1)
+    s1 = jnp.argmax(m1, axis=-1)
+    s2 = jnp.argmax(m2, axis=-1)
+    bucket = jnp.where(f1, b1, b2)
+    slot = jnp.where(f1, s1, s2).astype(jnp.int32)
+    found = (f1 | f2) & valid
+    flat = bucket * S + slot
+    sel = jnp.take(vals_tbl, jnp.where(found, flat, 0), axis=0)  # (..., 2)
+    out_c = jnp.where(found, sel[..., 0], EMPTY)
+    out_p = jnp.where(found, sel[..., 1], 0)
     return out_c, out_p
 
 
@@ -184,19 +196,25 @@ def extract_segments(mask: jnp.ndarray, lengths: jnp.ndarray, target: int):
     ok_pos = jnp.where(ok, t_idx, -1)
     prev_inc = jax.lax.cummax(ok_pos, axis=1)
     prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), prev_inc[:, :-1]], axis=1)
-    cnt = jnp.cumsum(blocked.astype(jnp.int32), axis=1)  # inclusive
-    cnt_at_prev = jnp.take_along_axis(cnt, jnp.maximum(prev, 0), axis=1)
-    no_block_between = (cnt - cnt_at_prev) == 0  # blocked[t]==0 when ok[t]
+    # "no blocked position in (prev, t)" == last blocked index <= prev
+    # (blocked[t] is false when ok[t]); avoids a per-element gather
+    last_blocked = jax.lax.cummax(jnp.where(blocked, t_idx, -1), axis=1)
+    no_block_between = last_blocked <= prev
     linked = ok & (prev >= 0) & ((t_idx - prev) <= ALLOWED_GAP) & no_block_between
     head = ok & ~linked & (t_idx < lengths[:, None] - 1)
     member = ok & (linked | head)
     hid = jax.lax.cummax(jnp.where(head, t_idx, -1), axis=1)
-    # next ok position strictly after t
-    nxt_ok = jnp.where(ok, t_idx, L)
-    nxt = jnp.concatenate([nxt_ok[:, 1:], jnp.full((B, 1), L, jnp.int32)], axis=1)
-    nxt = jax.lax.cummin(nxt, axis=1, reverse=True)
-    nxt_linked = jnp.take_along_axis(linked, jnp.minimum(nxt, L - 1), axis=1)
-    chain_end = member & ((nxt == L) | ~nxt_linked)
+    # chain end: hid is non-decreasing, so t is its chain's last member iff
+    # the next member's hid differs (or no next member); gather-free via a
+    # reverse cummin of member-masked hid
+    BIG = jnp.int32(0x3FFFFFFF)
+    nm_hid_inc = jax.lax.cummin(
+        jnp.where(member, hid, BIG), axis=1, reverse=True
+    )
+    nm_hid = jnp.concatenate(
+        [nm_hid_inc[:, 1:], jnp.full((B, 1), BIG, jnp.int32)], axis=1
+    )
+    chain_end = member & (nm_hid != hid)
     run_len = jnp.where(chain_end & (hid >= 0), t_idx - hid, -1)
     best = jnp.argmax(run_len, axis=1)
     best_len = jnp.take_along_axis(run_len, best[:, None], axis=1)[:, 0]
@@ -213,7 +231,8 @@ def extract_segments(mask: jnp.ndarray, lengths: jnp.ndarray, target: int):
 def map_read_batch(
     codes: jnp.ndarray,  # (B, L) uint8
     lengths: jnp.ndarray,  # (B,) int32
-    table: jnp.ndarray,  # (nb, SLOTS, 3) int32
+    keys_tbl: jnp.ndarray,  # (nb, SLOTS) int32
+    vals_tbl: jnp.ndarray,  # (nb*SLOTS, 2) int32
     dupes: jnp.ndarray,  # (nd, D, 2) int32
     shift: int,
     max_dupe: int,
@@ -224,7 +243,7 @@ def map_read_batch(
     B, L = codes.shape
     NK = L - KMER + 1
     km, kvalid = compute_kmers(codes, lengths)
-    contig, pos = hash_lookup(table, shift, km, kvalid)
+    contig, pos = hash_lookup((keys_tbl, vals_tbl), shift, km, kvalid)
     cc, cp, cv = expand_candidates(contig, pos, dupes, max_dupe)
     D = cc.shape[-1]
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, NK), 1)

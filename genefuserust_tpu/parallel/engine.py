@@ -71,9 +71,26 @@ class TpuEngine:
         self.settings = settings
         self.batch_size = batch_size
         self._prepared_for = None
-        self._table = None
+        self._keys = None
+        self._vals = None
         self._dupes = None
         self._packed = None
+        self._progress_t0 = None
+        self._progress_n = 0
+
+    def _progress(self, n: int) -> None:
+        """Throughput logging (reference progress bars: src/aux/pbar.rs)."""
+        import time
+
+        if self._progress_t0 is None:
+            self._progress_t0 = time.time()
+        self._progress_n += n
+        dt = time.time() - self._progress_t0
+        if dt > 0 and self._progress_n % (self.batch_size * 8) < n:
+            log.info(
+                "scanned %d reads (%.0f reads/s)", self._progress_n,
+                self._progress_n / dt,
+            )
 
     # ------------- index upload -------------
 
@@ -85,7 +102,8 @@ class TpuEngine:
         from ..ops.hashtable import pack_index
 
         self._packed = pack_index(mapper.indexer)
-        self._table = jnp.asarray(self._packed.table)
+        self._keys = jnp.asarray(self._packed.keys_tbl)
+        self._vals = jnp.asarray(self._packed.vals_tbl)
         self._dupes = jnp.asarray(self._packed.dupes)
         self._prepared_for = mapper
         log.info(
@@ -259,6 +277,7 @@ class TpuEngine:
             return list(pair_obj(int(meta_pair[j])))
 
         self._assemble(mapper, rows, lens, read_obj, originals, meta_lane)
+        self._progress(len(l1))
 
     def _scan_single_matrices(self, mapper, rows, lens, read_at: Callable) -> None:
         rows = np.ascontiguousarray(rows)
@@ -285,7 +304,8 @@ class TpuEngine:
         res = map_read_batch(
             jnp.asarray(codes),
             jnp.asarray(lens),
-            self._table,
+            self._keys,
+            self._vals,
             self._dupes,
             self._packed.shift,
             self._packed.max_dupe,

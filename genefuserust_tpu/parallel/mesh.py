@@ -54,7 +54,7 @@ def build_sharded_scan(mesh: Mesh, shift: int, max_dupe: int,
     (unmerged rows); lane masking matches the engine's host compaction —
     merged pairs never map R1/R2 (pescanner.rs:448-471)."""
 
-    def per_shard(b1, q1, l1, b2r, b2, q2r, l2, table, dupes):
+    def per_shard(b1, q1, l1, b2r, b2, q2r, l2, keys_tbl, vals_tbl, dupes):
         mr = merge_batch(b1, q1, l1, b2r, q2r, l2)
         # merged lane: codes from merged bytes; dead rows get length 0
         from ..core.sequence import BASE_CODE_LUT
@@ -63,19 +63,19 @@ def build_sharded_scan(mesh: Mesh, shift: int, max_dupe: int,
         m_codes = jnp.take(lut, mr.out_seq.astype(jnp.int32), axis=0)
         m_len = jnp.where(mr.merged, mr.out_len, 0)
         res_m = map_read_batch(
-            m_codes, m_len, table, dupes, shift, max_dupe,
+            m_codes, m_len, keys_tbl, vals_tbl, dupes, shift, max_dupe,
             major_req, minor_req, mismatch_thr,
         )
         r1_codes = jnp.take(lut, b1.astype(jnp.int32), axis=0)
         r2_codes = jnp.take(lut, b2.astype(jnp.int32), axis=0)
         dead = mr.merged
         res_1 = map_read_batch(
-            r1_codes, jnp.where(dead, 0, l1), table, dupes, shift, max_dupe,
-            major_req, minor_req, mismatch_thr,
+            r1_codes, jnp.where(dead, 0, l1), keys_tbl, vals_tbl, dupes,
+            shift, max_dupe, major_req, minor_req, mismatch_thr,
         )
         res_2 = map_read_batch(
-            r2_codes, jnp.where(dead, 0, l2), table, dupes, shift, max_dupe,
-            major_req, minor_req, mismatch_thr,
+            r2_codes, jnp.where(dead, 0, l2), keys_tbl, vals_tbl, dupes,
+            shift, max_dupe, major_req, minor_req, mismatch_thr,
         )
         n_merged = jax.lax.psum(jnp.sum(mr.merged.astype(jnp.int32)), axis)
         n_mapable = jax.lax.psum(
@@ -101,7 +101,7 @@ def build_sharded_scan(mesh: Mesh, shift: int, max_dupe: int,
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(batch, batch, batch, batch, batch, batch, batch, repl, repl),
+        in_specs=(batch, batch, batch, batch, batch, batch, batch, repl, repl, repl),
         out_specs=(
             (batch,) * 6,  # MergeResult fields
             (batch,) * 5,  # MapReadResult merged lane

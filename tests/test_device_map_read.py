@@ -42,7 +42,8 @@ def run_device(ix, reads, L=None):
     res = map_read_batch(
         jnp.asarray(codes),
         jnp.asarray(lengths),
-        jnp.asarray(packed.table),
+        jnp.asarray(packed.keys_tbl),
+        jnp.asarray(packed.vals_tbl),
         jnp.asarray(packed.dupes),
         packed.shift,
         packed.max_dupe,
