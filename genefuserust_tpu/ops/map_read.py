@@ -226,6 +226,92 @@ def extract_segments(mask: jnp.ndarray, lengths: jnp.ndarray, target: int):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("shift", "max_dupe", "major_req", "minor_req"),
+)
+def map_read_pass1(
+    codes: jnp.ndarray,  # (B, L) uint8
+    lengths: jnp.ndarray,  # (B,) int32
+    keys_tbl: jnp.ndarray,
+    vals_tbl: jnp.ndarray,
+    dupes: jnp.ndarray,
+    shift: int,
+    max_dupe: int,
+    major_req: int = 40,
+    minor_req: int = 20,
+):
+    """Vote phase only: stride-2 k-mer lookups, top-2 selection, threshold
+    gate. Returns (pass1_ok, h1, l1, h2, l2). The engine compacts the small
+    surviving subset and runs map_read_pass2 on it — identical results to
+    the fused kernel, ~2x fewer lookups and ~20x less pass-2 work."""
+    B, L = codes.shape
+    NK = L - KMER + 1
+    km, kvalid = compute_kmers(codes, lengths)
+    skm = km[:, ::PASS1_STEP]
+    skv = kvalid[:, ::PASS1_STEP]
+    contig, pos = hash_lookup((keys_tbl, vals_tbl), shift, skm, skv)
+    cc, cp, cv = expand_candidates(contig, pos, dupes, max_dupe)
+    D = cc.shape[-1]
+    NS = skm.shape[1]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, NS), 1) * PASS1_STEP
+    v_hi = cc
+    v_lo = cp - i_idx[:, :, None]
+    h1, l1, c1, h2, l2, c2 = top2_votes(
+        v_hi.reshape(B, NS * D), v_lo.reshape(B, NS * D), cv.reshape(B, NS * D)
+    )
+    pass1_ok = (c1 * PASS1_STEP >= major_req) & (c2 * PASS1_STEP >= minor_req)
+    return pass1_ok, h1, l1, h2, l2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shift", "max_dupe", "mismatch_thr")
+)
+def map_read_pass2(
+    codes: jnp.ndarray,  # (Bc, L) uint8 — compacted survivors
+    lengths: jnp.ndarray,
+    h1: jnp.ndarray,
+    l1: jnp.ndarray,
+    h2: jnp.ndarray,
+    l2: jnp.ndarray,
+    keys_tbl: jnp.ndarray,
+    vals_tbl: jnp.ndarray,
+    dupes: jnp.ndarray,
+    shift: int,
+    max_dupe: int,
+    mismatch_thr: int = 10,
+) -> MapReadResult:
+    """Mask + segment phase for reads that passed the vote gate."""
+    B, L = codes.shape
+    km, kvalid = compute_kmers(codes, lengths)
+    contig, pos = hash_lookup((keys_tbl, vals_tbl), shift, km, kvalid)
+    cc, cp, cv = expand_candidates(contig, pos, dupes, max_dupe)
+    NK = km.shape[1]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, NK), 1)
+    a_lo = cp - i_idx[:, :, None]
+    m1 = _eq_pm1(cc, a_lo, h1[:, None, None], l1[:, None, None])
+    m2 = _eq_pm1(cc, a_lo, h2[:, None, None], l2[:, None, None])
+    flag = jnp.where(cv & m1, 3, jnp.where(cv & m2, 2, 0)).astype(jnp.int32)
+    flagpos = jnp.max(flag, axis=2)
+    pad = jnp.zeros((B, KMER - 1), jnp.int32)
+    padded = jnp.concatenate([pad, flagpos, pad], axis=1)
+    mask = jnp.zeros((B, L), jnp.int32)
+    for j in range(KMER):
+        mask = jnp.maximum(mask, padded[:, KMER - 1 - j : KMER - 1 - j + L])
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    within = t_idx < lengths[:, None]
+    mismatches = jnp.sum(((mask < 2) & within).astype(jnp.int32), axis=1)
+    read_ok = mismatches <= mismatch_thr
+    v_top, s_top, e_top = extract_segments(mask, lengths, 3)
+    v_sec, s_sec, e_sec = extract_segments(mask, lengths, 2)
+    seg_valid = jnp.stack([v_top & read_ok, v_sec & read_ok], axis=1)
+    seg_start = jnp.stack([s_top, s_sec], axis=1)
+    seg_end = jnp.stack([e_top, e_sec], axis=1)
+    seg_contig = jnp.stack([h1, h2], axis=1)
+    seg_pos = jnp.stack([l1, l2], axis=1)
+    return MapReadResult(seg_valid, seg_start, seg_end, seg_contig, seg_pos)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("shift", "max_dupe", "major_req", "minor_req", "mismatch_thr"),
 )
 def map_read_batch(

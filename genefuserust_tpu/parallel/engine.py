@@ -295,13 +295,16 @@ class TpuEngine:
     # ------------- map + assemble -------------
 
     def _run_map(self, rows: np.ndarray, lens: np.ndarray):
+        """Two-phase map: vote gate on every read, mask/segments only on the
+        compacted survivors (identical results to the fused kernel)."""
         import jax.numpy as jnp
 
-        from ..ops.map_read import map_read_batch
+        from ..ops.map_read import map_read_pass1, map_read_pass2
 
         codes = BASE_CODE_LUT[rows]
         st = self.settings
-        res = map_read_batch(
+        n = len(lens)
+        ok, h1, l1, h2, l2 = map_read_pass1(
             jnp.asarray(codes),
             jnp.asarray(lens),
             self._keys,
@@ -311,15 +314,43 @@ class TpuEngine:
             self._packed.max_dupe,
             st.major_gene_key_requirement,
             st.minor_gene_key_requirement,
+        )
+        ok = np.asarray(ok)
+        sv = np.zeros((n, 2), bool)
+        ss = np.zeros((n, 2), np.int32)
+        se = np.zeros((n, 2), np.int32)
+        sc = np.zeros((n, 2), np.int32)
+        sp = np.zeros((n, 2), np.int32)
+        surv = np.nonzero(ok)[0]
+        if len(surv) == 0:
+            return sv, ss, se, sc, sp
+        h1, l1, h2, l2 = (np.asarray(x) for x in (h1, l1, h2, l2))
+        # pad survivor count to a power-of-two bucket to bound jit variants
+        pb = 8
+        while pb < len(surv):
+            pb *= 2
+        idx = np.concatenate([surv, np.zeros(pb - len(surv), np.int64)])
+        res = map_read_pass2(
+            jnp.asarray(codes[idx]),
+            jnp.asarray(np.where(np.arange(pb) < len(surv), lens[idx], 0)),
+            jnp.asarray(h1[idx]),
+            jnp.asarray(l1[idx]),
+            jnp.asarray(h2[idx]),
+            jnp.asarray(l2[idx]),
+            self._keys,
+            self._vals,
+            self._dupes,
+            self._packed.shift,
+            self._packed.max_dupe,
             st.mismatch_threshold,
         )
-        return (
-            np.asarray(res.seg_valid),
-            np.asarray(res.seg_start),
-            np.asarray(res.seg_end),
-            np.asarray(res.seg_contig),
-            np.asarray(res.seg_pos),
-        )
+        k = len(surv)
+        sv[surv] = np.asarray(res.seg_valid)[:k]
+        ss[surv] = np.asarray(res.seg_start)[:k]
+        se[surv] = np.asarray(res.seg_end)[:k]
+        sc[surv] = np.asarray(res.seg_contig)[:k]
+        sp[surv] = np.asarray(res.seg_pos)[:k]
+        return sv, ss, se, sc, sp
 
     def _assemble(
         self, mapper, rows, lens, read_obj: Callable, originals: Callable, meta_lane
