@@ -1,0 +1,201 @@
+"""Fused device pipeline: unpack -> RC -> merge-on-codes -> 3-lane pass1.
+
+One jit call per read batch with only scalar-sized fetches; the merged-read
+code matrix stays device-resident for the pass-2 gather. Upload format is
+the packed 4-bit-seq/2-bit-qual-class encoding from ops/pack.py.
+
+The reverse complement of R2 is computed full-width (so the logical read is
+RIGHT-aligned at column L-l2); all merge index arithmetic carries that
+shift instead of doing per-row alignment gathers (slow on TPU).
+
+Equivalence to the scalar fast_merge (read.rs:313-440) is inherited from
+ops/merge.py's totals argument; the qual-class reduction is exact because
+the merge logic only tests q>=Q30 and q<=Q15 (see ops/pack.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MIN_OVERLAP
+from .map_read import map_read_pass1
+from .pack import COMP4, MAP_FROM_SEQ4, unpack_q2_jnp, unpack_seq4_jnp
+
+
+class FusedPass1Result(NamedTuple):
+    merged: jnp.ndarray  # (B,) bool
+    diff: jnp.ndarray  # (B,) int32
+    m_len: jnp.ndarray  # (B,) int32
+    merged_codes: jnp.ndarray  # (B, 2L) uint8 4-bit codes — device resident
+    ok_m: jnp.ndarray  # (B,) bool       pass1 gate, merged lane
+    gp_m: jnp.ndarray  # (B, 4) int32    h1,l1,h2,l2
+    ok_1: jnp.ndarray
+    gp_1: jnp.ndarray
+    ok_2: jnp.ndarray
+    gp_2: jnp.ndarray
+
+
+def _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L):
+    """Merge on 4-bit codes + qual classes; rc2f/qc2f are full-flip arrays
+    (logical read right-aligned at L-l2)."""
+    B = s1.shape[0]
+    O = L - MIN_OVERLAP + 1
+    olens = MIN_OVERLAP + jax.lax.broadcasted_iota(jnp.int32, (B, O), 1)
+    offsets = l1[:, None] - olens
+    shift2 = (L - l2)[:, None, None]  # rc2 logical i -> column L-l2+i
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, O, L), 2)
+    j1 = offsets[:, :, None] + i_idx
+    j2 = shift2 + i_idx
+    in_ov = (i_idx < olens[:, :, None]) & (j1 >= 0) & (j1 < l1[:, None, None])
+    a1 = jnp.take_along_axis(s1[:, None, :], jnp.clip(j1, 0, L - 1), axis=2)
+    aq1 = jnp.take_along_axis(qc1[:, None, :], jnp.clip(j1, 0, L - 1), axis=2)
+    a2 = jnp.take_along_axis(rc2f[:, None, :], jnp.clip(j2, 0, L - 1), axis=2)
+    aq2 = jnp.take_along_axis(qc2f[:, None, :], jnp.clip(j2, 0, L - 1), axis=2)
+    mism = (a1 != a2) & in_ov
+    lq = mism & (((aq1 == 2) & (aq2 == 0)) | ((aq1 == 0) & (aq2 == 2)))
+    diff_tot = jnp.sum(mism.astype(jnp.int32), axis=2)
+    lq_tot = jnp.sum(lq.astype(jnp.int32), axis=2)
+    o_valid = olens <= jnp.minimum(l1, l2)[:, None]
+    ok = o_valid & (diff_tot == lq_tot) & (lq_tot <= 2)
+    any_ok = jnp.any(ok, axis=1)
+    first = jnp.argmax(ok, axis=1)
+    olen = MIN_OVERLAP + first.astype(jnp.int32)
+    diff = jnp.take_along_axis(diff_tot, first[:, None], axis=1)[:, 0]
+
+    offset = l1 - olen
+    out_len = offset + l2
+    Lm = 2 * L
+    jm = jax.lax.broadcasted_iota(jnp.int32, (B, Lm), 1)
+    im = jm - offset[:, None]  # logical index into rc2
+    col2 = (L - l2)[:, None] + im
+    g1 = jnp.take_along_axis(s1, jnp.clip(jm, 0, L - 1), axis=1)
+    gq1 = jnp.take_along_axis(qc1, jnp.clip(jm, 0, L - 1), axis=1)
+    g2 = jnp.take_along_axis(rc2f, jnp.clip(col2, 0, L - 1), axis=1)
+    gq2 = jnp.take_along_axis(qc2f, jnp.clip(col2, 0, L - 1), axis=1)
+    in_left = jm < offset[:, None]
+    in_overlap = (jm >= offset[:, None]) & (jm < l1[:, None])
+    in_right = (jm >= l1[:, None]) & (jm < out_len[:, None])
+    take1 = (gq1 == 2) & (gq2 == 0)
+    ov_seq = jnp.where(g1 == g2, g2, jnp.where(take1, g1, g2))
+    out_seq = jnp.where(
+        in_left, g1, jnp.where(in_overlap, ov_seq, jnp.where(in_right, g2, 15))
+    ).astype(jnp.uint8)
+    out_seq = jnp.where(any_ok[:, None], out_seq, 15)
+    return (
+        any_ok,
+        jnp.where(any_ok, diff, 0),
+        jnp.where(any_ok, out_len, 0),
+        out_seq,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "shift", "max_dupe", "major_req", "minor_req"),
+)
+def fused_pass1(
+    s1p: jnp.ndarray,  # (B, ceil(L/2)) packed 4-bit R1 codes
+    q1p: jnp.ndarray,  # (B, ceil(L/4)) packed qual classes
+    l1: jnp.ndarray,
+    s2p: jnp.ndarray,
+    q2p: jnp.ndarray,
+    l2: jnp.ndarray,
+    keys_tbl: jnp.ndarray,
+    vals_tbl: jnp.ndarray,
+    dupes: jnp.ndarray,
+    L: int,
+    shift: int,
+    max_dupe: int,
+    major_req: int = 40,
+    minor_req: int = 20,
+) -> FusedPass1Result:
+    B = s1p.shape[0]
+    comp4 = jnp.asarray(COMP4)
+    map4 = jnp.asarray(MAP_FROM_SEQ4)
+    s1 = unpack_seq4_jnp(s1p, L)
+    s2 = unpack_seq4_jnp(s2p, L)
+    qc1 = unpack_q2_jnp(q1p, L)
+    qc2 = unpack_q2_jnp(q2p, L)
+    rc2f = jnp.take(comp4, s2[:, ::-1].astype(jnp.int32), axis=0)
+    qc2f = qc2[:, ::-1]
+
+    merged, diff, m_len, m_codes = _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L)
+
+    m_map = jnp.take(map4, m_codes.astype(jnp.int32), axis=0)
+    r1_map = jnp.take(map4, s1.astype(jnp.int32), axis=0)
+    r2_map = jnp.take(map4, s2.astype(jnp.int32), axis=0)
+
+    ok_m, h1m, l1m, h2m, l2m = map_read_pass1(
+        m_map, jnp.where(merged, m_len, 0), keys_tbl, vals_tbl, dupes,
+        shift, max_dupe, major_req, minor_req,
+    )
+    ok_1, h11, l11, h21, l21 = map_read_pass1(
+        r1_map, jnp.where(merged, 0, l1), keys_tbl, vals_tbl, dupes,
+        shift, max_dupe, major_req, minor_req,
+    )
+    ok_2, h12, l12, h22, l22 = map_read_pass1(
+        r2_map, jnp.where(merged, 0, l2), keys_tbl, vals_tbl, dupes,
+        shift, max_dupe, major_req, minor_req,
+    )
+    return FusedPass1Result(
+        merged,
+        diff,
+        m_len,
+        m_codes,
+        ok_m,
+        jnp.stack([h1m, l1m, h2m, l2m], axis=1),
+        ok_1,
+        jnp.stack([h11, l11, h21, l21], axis=1),
+        ok_2,
+        jnp.stack([h12, l12, h22, l22], axis=1),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "shift", "max_dupe", "mismatch_thr")
+)
+def fused_pass2_merged(
+    m_codes: jnp.ndarray,  # (B, 2L) 4-bit codes, device resident
+    idx: jnp.ndarray,  # (PB,) int32 survivor rows
+    lens: jnp.ndarray,  # (PB,)
+    gps: jnp.ndarray,  # (PB, 4)
+    keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
+    mismatch_thr: int = 10,
+):
+    from .map_read import map_read_pass2
+
+    map4 = jnp.asarray(MAP_FROM_SEQ4)
+    rows = jnp.take(m_codes, idx, axis=0)
+    codes = jnp.take(map4, rows.astype(jnp.int32), axis=0)
+    return map_read_pass2(
+        codes, lens, gps[:, 0], gps[:, 1], gps[:, 2], gps[:, 3],
+        keys_tbl, vals_tbl, dupes, shift, max_dupe, mismatch_thr,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "shift", "max_dupe", "mismatch_thr")
+)
+def fused_pass2_packed(
+    sp: jnp.ndarray,  # (B, ceil(L/2)) packed seq4 (R1 or R2 upload)
+    idx: jnp.ndarray,
+    lens: jnp.ndarray,
+    gps: jnp.ndarray,
+    keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
+    mismatch_thr: int = 10,
+):
+    from .map_read import map_read_pass2
+
+    map4 = jnp.asarray(MAP_FROM_SEQ4)
+    rows = jnp.take(sp, idx, axis=0)
+    s = unpack_seq4_jnp(rows, L)
+    codes = jnp.take(map4, s.astype(jnp.int32), axis=0)
+    return map_read_pass2(
+        codes, lens, gps[:, 0], gps[:, 1], gps[:, 2], gps[:, 3],
+        keys_tbl, vals_tbl, dupes, shift, max_dupe, mismatch_thr,
+    )

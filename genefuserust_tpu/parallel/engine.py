@@ -206,78 +206,198 @@ class TpuEngine:
     def _scan_pair_matrices(
         self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable, left_name: Callable
     ) -> None:
+        """Fused device pipeline: packed upload -> device merge+pass1 ->
+        compacted pass2 per lane group -> host assembly of hits only."""
         import jax.numpy as jnp
 
-        from ..ops.merge import merge_batch
+        from ..core.read import SequenceReadPair
+        from ..ops.fused import fused_pass1, fused_pass2_merged, fused_pass2_packed
+        from ..ops.pack import SEQ4_LUT, has_exotic, pack_q2, pack_seq4, qual_class
 
-        b2r = _rc_rows(b2, l2)
-        q2r = _rev_rows(q2, l2)
-        mr = merge_batch(
-            jnp.asarray(b1),
-            jnp.asarray(q1),
+        l1 = np.asarray(l1, np.int32).copy()
+        l2 = np.asarray(l2, np.int32).copy()
+        # reads with bytes outside ACGTNacgtn go through the scalar oracle
+        exotic = has_exotic(b1, l1) | has_exotic(b2, l2)
+        if exotic.any():
+            from ..core.scanner import scan_one_pair
+
+            for i in np.nonzero(exotic)[0].tolist():
+                lr = pair_obj(int(i))
+                scan_one_pair(mapper, SequenceReadPair(lr[0], lr[1]))
+            l1[exotic] = 0
+            l2[exotic] = 0
+
+        B, L = b1.shape
+        st = self.settings
+        s1p = pack_seq4(SEQ4_LUT[b1])
+        s2p = pack_seq4(SEQ4_LUT[b2])
+        q1p = pack_q2(qual_class(q1))
+        q2p = pack_q2(qual_class(q2))
+        s1p_d = jnp.asarray(s1p)
+        s2p_d = jnp.asarray(s2p)
+        res = fused_pass1(
+            s1p_d,
+            jnp.asarray(q1p),
             jnp.asarray(l1),
-            jnp.asarray(b2r),
-            jnp.asarray(q2r),
+            s2p_d,
+            jnp.asarray(q2p),
             jnp.asarray(l2),
+            self._keys,
+            self._vals,
+            self._dupes,
+            L,
+            self._packed.shift,
+            self._packed.max_dupe,
+            st.major_gene_key_requirement,
+            st.minor_gene_key_requirement,
         )
-        merged = np.asarray(mr.merged)
-        m_seq = np.asarray(mr.out_seq)
-        m_qual = np.asarray(mr.out_qual)
-        m_len = np.asarray(mr.out_len)
-        m_diff = np.asarray(mr.diff)
+        merged = np.asarray(res.merged)
+        m_diff = np.asarray(res.diff)
+        m_len = np.asarray(res.m_len)
+        ok_m = np.asarray(res.ok_m)
+        ok_1 = np.asarray(res.ok_1)
+        ok_2 = np.asarray(res.ok_2)
+        gp_m = np.asarray(res.gp_m)
+        gp_1 = np.asarray(res.gp_1)
+        gp_2 = np.asarray(res.gp_2)
 
-        midx = np.nonzero(merged)[0]
-        uidx = np.nonzero(~merged)[0]
-        n_m, n_u = len(midx), len(uidx)
-        Lmap = _round_up(
-            max(
-                KMER,
-                int(m_len[midx].max()) if n_m else KMER,
-                int(l1[uidx].max()) if n_u else KMER,
-                int(l2[uidx].max()) if n_u else KMER,
-            ),
-            32,
-        )
-        n_rows = n_m + 2 * n_u
-        rows = np.zeros((n_rows, Lmap), np.uint8)
-        lens = np.zeros(n_rows, np.int32)
-        Lc = min(Lmap, m_seq.shape[1])
-        rows[:n_m, :Lc] = m_seq[midx, :Lc]
-        lens[:n_m] = m_len[midx]
-        Lc = min(Lmap, b1.shape[1])
-        rows[n_m : n_m + n_u, :Lc] = b1[uidx, :Lc]
-        lens[n_m : n_m + n_u] = l1[uidx]
-        rows[n_m + n_u :, :Lc] = b2[uidx, :Lc]
-        lens[n_m + n_u :] = l2[uidx]
-        # meta: pair index + lane tag per row
-        meta_pair = np.concatenate([midx, uidx, uidx]).astype(np.int64)
-        meta_lane = np.concatenate(
-            [
-                np.zeros(n_m, np.int8),
-                np.ones(n_u, np.int8),
-                np.full(n_u, 2, np.int8),
-            ]
-        )
+        merged_read_cache = {}
 
-        def read_obj(j: int) -> SequenceRead:
-            i = int(meta_pair[j])
-            lane = int(meta_lane[j])
-            if lane == 0:
-                n = int(lens[j])
-                return SequenceRead(
-                    f"{left_name(i)} merged_diff_{int(m_diff[i])}",
-                    rows[j, :n].tobytes().decode("latin-1"),
-                    "+",
-                    m_qual[i, :n].tobytes().decode("latin-1"),
+        def merged_read(i: int) -> SequenceRead:
+            if i not in merged_read_cache:
+                lr = pair_obj(i)
+                m = SequenceReadPair(lr[0], lr[1]).fast_merge()
+                assert m is not None, "device/host merge disagreement"
+                merged_read_cache[i] = m
+            return merged_read_cache[i]
+
+        def run_pass2(kind, idx_rows, lens_rows, gps_rows):
+            pb = 8
+            while pb < len(idx_rows):
+                pb *= 2
+            pad = pb - len(idx_rows)
+            idxp = np.concatenate([idx_rows, np.zeros(pad, np.int64)]).astype(np.int32)
+            lensp = np.concatenate([lens_rows, np.zeros(pad, np.int32)]).astype(
+                np.int32
+            )
+            gpsp = np.concatenate(
+                [gps_rows, np.zeros((pad, 4), np.int32)], axis=0
+            ).astype(np.int32)
+            common = (
+                self._keys,
+                self._vals,
+                self._dupes,
+            )
+            if kind == "m":
+                r = fused_pass2_merged(
+                    res.merged_codes,
+                    jnp.asarray(idxp),
+                    jnp.asarray(lensp),
+                    jnp.asarray(gpsp),
+                    *common,
+                    L=2 * L,
+                    shift=self._packed.shift,
+                    max_dupe=self._packed.max_dupe,
+                    mismatch_thr=st.mismatch_threshold,
                 )
-            lr = pair_obj(i)
-            return lr[0] if lane == 1 else lr[1]
+            else:
+                src = s1p_d if kind == "r1" else s2p_d
+                r = fused_pass2_packed(
+                    src,
+                    jnp.asarray(idxp),
+                    jnp.asarray(lensp),
+                    jnp.asarray(gpsp),
+                    *common,
+                    L=L,
+                    shift=self._packed.shift,
+                    max_dupe=self._packed.max_dupe,
+                    mismatch_thr=st.mismatch_threshold,
+                )
+            return (
+                np.asarray(r.seg_valid),
+                np.asarray(r.seg_start),
+                np.asarray(r.seg_end),
+                np.asarray(r.seg_contig),
+                np.asarray(r.seg_pos),
+            )
 
-        def originals(j: int) -> List[SequenceRead]:
-            return list(pair_obj(int(meta_pair[j])))
+        retry: List[Tuple[int, int, SequenceRead]] = []  # (pair, lane, rc read)
 
-        self._assemble(mapper, rows, lens, read_obj, originals, meta_lane)
+        def handle_group(kind, lane, ok_arr, gp_arr, lens_for, read_for):
+            rows = np.nonzero(ok_arr)[0]
+            if len(rows) == 0:
+                return
+            sv, ss, se, sc, sp = run_pass2(
+                kind, rows, lens_for(rows), gp_arr[rows]
+            )
+            for k, i in enumerate(rows.tolist()):
+                if not (sv[k, 0] and sv[k, 1]):
+                    continue
+                mapping = [
+                    SeqMatch(
+                        int(ss[k, t]),
+                        int(se[k, t]),
+                        GenePos(int(sc[k, t]), int(sp[k, t])),
+                    )
+                    for t in range(2)
+                ]
+                if mapper.indexer.in_required_direction(mapping):
+                    r = read_for(i)
+                    m = mapper.make_match(r, mapping)
+                    m.original_reads = list(pair_obj(i))
+                    mapper.add_match(m)
+                else:
+                    retry.append((i, lane, read_for(i).reverse_complement()))
+
+        handle_group(
+            "m", 0, ok_m & merged, gp_m, lambda rows: m_len[rows], merged_read
+        )
+        handle_group(
+            "r1",
+            1,
+            ok_1 & ~merged,
+            gp_1,
+            lambda rows: l1[rows],
+            lambda i: pair_obj(i)[0],
+        )
+        handle_group(
+            "r2",
+            2,
+            ok_2 & ~merged,
+            gp_2,
+            lambda rows: l2[rows],
+            lambda i: pair_obj(i)[1],
+        )
+
+        if retry:
+            self._retry(mapper, retry, pair_obj)
         self._progress(len(l1))
+
+    def _retry(self, mapper, retry, pair_obj) -> None:
+        """RC retry for direction-rejected reads (tiny batch)."""
+        Lr2 = _round_up(max(KMER, max(len(r.seq) for _, _, r in retry)), 32)
+        rrows, rlens = _tokenize_bytes(
+            [r.seq.encode("latin-1") for _, _, r in retry], Lr2
+        )
+        sv, ss, se, sc, sp = self._run_map(rrows, rlens)
+        for k, (i, lane, rc_read) in enumerate(retry):
+            if not (sv[k, 0] and sv[k, 1]):
+                continue
+            mapping = [
+                SeqMatch(
+                    int(ss[k, t]), int(se[k, t]), GenePos(int(sc[k, t]), int(sp[k, t]))
+                )
+                for t in range(2)
+            ]
+            if not mapper.indexer.in_required_direction(mapping):
+                continue
+            m = mapper.make_match(rc_read, mapping)
+            m.original_reads = list(pair_obj(i))
+            if lane != 0:
+                # merged-lane RC matches keep reversed=False
+                # (faithful: pescanner.rs:465-468 vs :487-490)
+                m.reversed = True
+            mapper.add_match(m)
 
     def _scan_single_matrices(self, mapper, rows, lens, read_at: Callable) -> None:
         rows = np.ascontiguousarray(rows)
