@@ -190,13 +190,21 @@ def gen_block(mapper, n: int, read_len: int = 150, seed: int = 2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--panel-mbp", type=float, default=15.2)
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--pairs", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--read-len", type=int, default=150)
     args = ap.parse_args()
 
     import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(CACHE, "jaxcache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from genefuserust_tpu.config import Settings

@@ -40,6 +40,12 @@ class FusedPass1Result(NamedTuple):
     gp_2: jnp.ndarray
 
 
+# summary layout (single host fetch): columns of the (B, 18) int32 array
+# [0]=merged [1]=diff [2]=m_len [3]=ok_m [4:8]=gp_m [8]=ok_1 [9:13]=gp_1
+# [13]=ok_2 [14:18]=gp_2
+SUMMARY_COLS = 18
+
+
 def _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L):
     """Merge on 4-bit codes + qual classes; rc2f/qc2f are full-flip arrays
     (logical read right-aligned at L-l2)."""
@@ -154,6 +160,114 @@ def fused_pass1(
         ok_2,
         jnp.stack([h12, l12, h22, l22], axis=1),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "chunk", "shift", "max_dupe", "major_req", "minor_req"),
+)
+def fused_pass1_chunked(
+    s1p: jnp.ndarray,
+    q1p: jnp.ndarray,
+    l1: jnp.ndarray,
+    s2p: jnp.ndarray,
+    q2p: jnp.ndarray,
+    l2: jnp.ndarray,
+    keys_tbl: jnp.ndarray,
+    vals_tbl: jnp.ndarray,
+    dupes: jnp.ndarray,
+    L: int,
+    chunk: int,
+    shift: int,
+    max_dupe: int,
+    major_req: int = 40,
+    minor_req: int = 20,
+):
+    """Large-batch fused pass1: lax.map over `chunk`-row slices bounds the
+    merge working set; returns (summary (B, 18) int32 — ONE host fetch —
+    and merged_codes (B, 2L) device-resident)."""
+    B = s1p.shape[0]
+    assert B % chunk == 0, "engine pads batches to a chunk multiple"
+    n = B // chunk
+
+    def one(args):
+        a_s1p, a_q1p, a_l1, a_s2p, a_q2p, a_l2 = args
+        r = fused_pass1(
+            a_s1p, a_q1p, a_l1, a_s2p, a_q2p, a_l2,
+            keys_tbl, vals_tbl, dupes, L, shift, max_dupe, major_req, minor_req,
+        )
+        summary = jnp.concatenate(
+            [
+                r.merged.astype(jnp.int32)[:, None],
+                r.diff[:, None],
+                r.m_len[:, None],
+                r.ok_m.astype(jnp.int32)[:, None],
+                r.gp_m,
+                r.ok_1.astype(jnp.int32)[:, None],
+                r.gp_1,
+                r.ok_2.astype(jnp.int32)[:, None],
+                r.gp_2,
+            ],
+            axis=1,
+        )
+        return summary, r.merged_codes
+
+    reshape = lambda x: x.reshape((n, chunk) + x.shape[1:])
+    summary, m_codes = jax.lax.map(
+        one, tuple(reshape(x) for x in (s1p, q1p, l1, s2p, q2p, l2))
+    )
+    return summary.reshape(B, SUMMARY_COLS), m_codes.reshape(B, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "shift", "max_dupe", "mismatch_thr")
+)
+def fused_pass2_combined(
+    m_codes: jnp.ndarray,  # (B, 2L) 4-bit merged codes (device resident)
+    s1p: jnp.ndarray,  # (B, ceil(L/2)) packed R1
+    s2p: jnp.ndarray,  # (B, ceil(L/2)) packed R2
+    idx: jnp.ndarray,  # (PB,) int32 pair row per survivor
+    lane: jnp.ndarray,  # (PB,) int32 0=merged 1=r1 2=r2
+    lens: jnp.ndarray,  # (PB,)
+    gps: jnp.ndarray,  # (PB, 4)
+    keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
+    mismatch_thr: int = 10,
+):
+    """One pass2 call for all three lane groups; r-lane rows are unpacked
+    and right-padded into the merged width (2L)."""
+    from .map_read import map_read_pass2
+
+    map4 = jnp.asarray(MAP_FROM_SEQ4)
+    L2 = m_codes.shape[1]
+    mrows = jnp.take(m_codes, idx, axis=0)
+    r1rows = unpack_seq4_jnp(jnp.take(s1p, idx, axis=0), L)
+    r2rows = unpack_seq4_jnp(jnp.take(s2p, idx, axis=0), L)
+    pad = jnp.full((idx.shape[0], L2 - L), 15, jnp.uint8)
+    r1full = jnp.concatenate([r1rows, pad], axis=1)
+    r2full = jnp.concatenate([r2rows, pad], axis=1)
+    rows4 = jnp.where(
+        (lane == 0)[:, None],
+        mrows,
+        jnp.where((lane == 1)[:, None], r1full, r2full),
+    )
+    codes = jnp.take(map4, rows4.astype(jnp.int32), axis=0)
+    res = map_read_pass2(
+        codes, lens, gps[:, 0], gps[:, 1], gps[:, 2], gps[:, 3],
+        keys_tbl, vals_tbl, dupes, shift, max_dupe, mismatch_thr,
+    )
+    # single fetchable output (PB, 10): [0:2]=valid [2:4]=start [4:6]=end
+    # [6:8]=contig [8:10]=pos
+    out_full = jnp.concatenate(
+        [
+            res.seg_valid.astype(jnp.int32),
+            res.seg_start,
+            res.seg_end,
+            res.seg_contig,
+            res.seg_pos,
+        ],
+        axis=1,
+    )
+    return out_full
 
 
 @functools.partial(

@@ -67,7 +67,7 @@ def _rev_rows(q: np.ndarray, lens: np.ndarray) -> np.ndarray:
 class TpuEngine:
     """Batched engine; device selection follows JAX's default backend."""
 
-    def __init__(self, settings: Settings, batch_size: int = 4096):
+    def __init__(self, settings: Settings, batch_size: int = 32768):
         self.settings = settings
         self.batch_size = batch_size
         self._prepared_for = None
@@ -211,7 +211,7 @@ class TpuEngine:
         import jax.numpy as jnp
 
         from ..core.read import SequenceReadPair
-        from ..ops.fused import fused_pass1, fused_pass2_merged, fused_pass2_packed
+        from ..ops.fused import fused_pass1_chunked, fused_pass2_combined
         from ..ops.pack import SEQ4_LUT, has_exotic, pack_q2, pack_seq4, qual_class
 
         l1 = np.asarray(l1, np.int32).copy()
@@ -228,14 +228,29 @@ class TpuEngine:
             l2[exotic] = 0
 
         B, L = b1.shape
+        orig_B = B
         st = self.settings
+        chunk = min(2048, B)
+        padB = _round_up(B, chunk)
+        if padB != B:
+            padrows = padB - B
+
+            def padm(a):
+                return np.concatenate(
+                    [a, np.zeros((padrows,) + a.shape[1:], a.dtype)], axis=0
+                )
+
+            b1, q1, b2, q2 = padm(b1), padm(q1), padm(b2), padm(q2)
+            l1 = np.concatenate([l1, np.zeros(padrows, np.int32)])
+            l2 = np.concatenate([l2, np.zeros(padrows, np.int32)])
+            B = padB
         s1p = pack_seq4(SEQ4_LUT[b1])
         s2p = pack_seq4(SEQ4_LUT[b2])
         q1p = pack_q2(qual_class(q1))
         q2p = pack_q2(qual_class(q2))
         s1p_d = jnp.asarray(s1p)
         s2p_d = jnp.asarray(s2p)
-        res = fused_pass1(
+        summary_d, m_codes_d = fused_pass1_chunked(
             s1p_d,
             jnp.asarray(q1p),
             jnp.asarray(l1),
@@ -246,20 +261,22 @@ class TpuEngine:
             self._vals,
             self._dupes,
             L,
+            chunk,
             self._packed.shift,
             self._packed.max_dupe,
             st.major_gene_key_requirement,
             st.minor_gene_key_requirement,
         )
-        merged = np.asarray(res.merged)
-        m_diff = np.asarray(res.diff)
-        m_len = np.asarray(res.m_len)
-        ok_m = np.asarray(res.ok_m)
-        ok_1 = np.asarray(res.ok_1)
-        ok_2 = np.asarray(res.ok_2)
-        gp_m = np.asarray(res.gp_m)
-        gp_1 = np.asarray(res.gp_1)
-        gp_2 = np.asarray(res.gp_2)
+        S = np.asarray(summary_d)  # ONE host fetch for the whole batch
+        merged = S[:, 0].astype(bool)
+        m_diff = S[:, 1]
+        m_len = S[:, 2]
+        ok_m = S[:, 3].astype(bool) & merged
+        gp_m = S[:, 4:8]
+        ok_1 = S[:, 8].astype(bool) & ~merged
+        gp_1 = S[:, 9:13]
+        ok_2 = S[:, 13].astype(bool) & ~merged
+        gp_2 = S[:, 14:18]
 
         merged_read_cache = {}
 
@@ -271,107 +288,85 @@ class TpuEngine:
                 merged_read_cache[i] = m
             return merged_read_cache[i]
 
-        def run_pass2(kind, idx_rows, lens_rows, gps_rows):
+        def read_for(i: int, lane: int) -> SequenceRead:
+            if lane == 0:
+                return merged_read(i)
+            lr = pair_obj(i)
+            return lr[0] if lane == 1 else lr[1]
+
+        # ---- combined pass2 over all three lane groups ----
+        rows_m = np.nonzero(ok_m)[0]
+        rows_1 = np.nonzero(ok_1)[0]
+        rows_2 = np.nonzero(ok_2)[0]
+        n_surv = len(rows_m) + len(rows_1) + len(rows_2)
+        retry: List[Tuple[int, int, SequenceRead]] = []
+        if n_surv:
+            idx = np.concatenate([rows_m, rows_1, rows_2])
+            lane_arr = np.concatenate(
+                [
+                    np.zeros(len(rows_m), np.int32),
+                    np.ones(len(rows_1), np.int32),
+                    np.full(len(rows_2), 2, np.int32),
+                ]
+            )
+            lens_arr = np.concatenate([m_len[rows_m], l1[rows_1], l2[rows_2]])
+            gps_arr = np.concatenate([gp_m[rows_m], gp_1[rows_1], gp_2[rows_2]])
             pb = 8
-            while pb < len(idx_rows):
+            while pb < n_surv:
                 pb *= 2
-            pad = pb - len(idx_rows)
-            idxp = np.concatenate([idx_rows, np.zeros(pad, np.int64)]).astype(np.int32)
-            lensp = np.concatenate([lens_rows, np.zeros(pad, np.int32)]).astype(
+            pad = pb - n_surv
+            idxp = np.concatenate([idx, np.zeros(pad, np.int64)]).astype(np.int32)
+            lanep = np.concatenate([lane_arr, np.zeros(pad, np.int32)]).astype(
                 np.int32
             )
-            gpsp = np.concatenate(
-                [gps_rows, np.zeros((pad, 4), np.int32)], axis=0
-            ).astype(np.int32)
-            common = (
-                self._keys,
-                self._vals,
-                self._dupes,
+            lensp = np.concatenate([lens_arr, np.zeros(pad, np.int32)]).astype(
+                np.int32
             )
-            if kind == "m":
-                r = fused_pass2_merged(
-                    res.merged_codes,
+            gpsp = np.concatenate([gps_arr, np.zeros((pad, 4), np.int32)]).astype(
+                np.int32
+            )
+            out = np.asarray(
+                fused_pass2_combined(
+                    m_codes_d,
+                    s1p_d,
+                    s2p_d,
                     jnp.asarray(idxp),
+                    jnp.asarray(lanep),
                     jnp.asarray(lensp),
                     jnp.asarray(gpsp),
-                    *common,
-                    L=2 * L,
-                    shift=self._packed.shift,
-                    max_dupe=self._packed.max_dupe,
-                    mismatch_thr=st.mismatch_threshold,
-                )
-            else:
-                src = s1p_d if kind == "r1" else s2p_d
-                r = fused_pass2_packed(
-                    src,
-                    jnp.asarray(idxp),
-                    jnp.asarray(lensp),
-                    jnp.asarray(gpsp),
-                    *common,
+                    self._keys,
+                    self._vals,
+                    self._dupes,
                     L=L,
                     shift=self._packed.shift,
                     max_dupe=self._packed.max_dupe,
                     mismatch_thr=st.mismatch_threshold,
                 )
-            return (
-                np.asarray(r.seg_valid),
-                np.asarray(r.seg_start),
-                np.asarray(r.seg_end),
-                np.asarray(r.seg_contig),
-                np.asarray(r.seg_pos),
-            )
-
-        retry: List[Tuple[int, int, SequenceRead]] = []  # (pair, lane, rc read)
-
-        def handle_group(kind, lane, ok_arr, gp_arr, lens_for, read_for):
-            rows = np.nonzero(ok_arr)[0]
-            if len(rows) == 0:
-                return
-            sv, ss, se, sc, sp = run_pass2(
-                kind, rows, lens_for(rows), gp_arr[rows]
-            )
-            for k, i in enumerate(rows.tolist()):
-                if not (sv[k, 0] and sv[k, 1]):
+            )  # ONE fetch: (pb, 10)
+            for k in range(n_surv):
+                if not (out[k, 0] and out[k, 1]):
                     continue
+                i = int(idx[k])
+                lane = int(lane_arr[k])
                 mapping = [
                     SeqMatch(
-                        int(ss[k, t]),
-                        int(se[k, t]),
-                        GenePos(int(sc[k, t]), int(sp[k, t])),
+                        int(out[k, 2 + t]),
+                        int(out[k, 4 + t]),
+                        GenePos(int(out[k, 6 + t]), int(out[k, 8 + t])),
                     )
                     for t in range(2)
                 ]
                 if mapper.indexer.in_required_direction(mapping):
-                    r = read_for(i)
+                    r = read_for(i, lane)
                     m = mapper.make_match(r, mapping)
                     m.original_reads = list(pair_obj(i))
                     mapper.add_match(m)
                 else:
-                    retry.append((i, lane, read_for(i).reverse_complement()))
-
-        handle_group(
-            "m", 0, ok_m & merged, gp_m, lambda rows: m_len[rows], merged_read
-        )
-        handle_group(
-            "r1",
-            1,
-            ok_1 & ~merged,
-            gp_1,
-            lambda rows: l1[rows],
-            lambda i: pair_obj(i)[0],
-        )
-        handle_group(
-            "r2",
-            2,
-            ok_2 & ~merged,
-            gp_2,
-            lambda rows: l2[rows],
-            lambda i: pair_obj(i)[1],
-        )
+                    retry.append((i, lane, read_for(i, lane).reverse_complement()))
 
         if retry:
             self._retry(mapper, retry, pair_obj)
-        self._progress(len(l1))
+        self._progress(orig_B)
 
     def _retry(self, mapper, retry, pair_obj) -> None:
         """RC retry for direction-rejected reads (tiny batch)."""
