@@ -268,48 +268,3 @@ def fused_pass2_combined(
         axis=1,
     )
     return out_full
-
-
-@functools.partial(
-    jax.jit, static_argnames=("L", "shift", "max_dupe", "mismatch_thr")
-)
-def fused_pass2_merged(
-    m_codes: jnp.ndarray,  # (B, 2L) 4-bit codes, device resident
-    idx: jnp.ndarray,  # (PB,) int32 survivor rows
-    lens: jnp.ndarray,  # (PB,)
-    gps: jnp.ndarray,  # (PB, 4)
-    keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
-    mismatch_thr: int = 10,
-):
-    from .map_read import map_read_pass2
-
-    map4 = jnp.asarray(MAP_FROM_SEQ4)
-    rows = jnp.take(m_codes, idx, axis=0)
-    codes = jnp.take(map4, rows.astype(jnp.int32), axis=0)
-    return map_read_pass2(
-        codes, lens, gps[:, 0], gps[:, 1], gps[:, 2], gps[:, 3],
-        keys_tbl, vals_tbl, dupes, shift, max_dupe, mismatch_thr,
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("L", "shift", "max_dupe", "mismatch_thr")
-)
-def fused_pass2_packed(
-    sp: jnp.ndarray,  # (B, ceil(L/2)) packed seq4 (R1 or R2 upload)
-    idx: jnp.ndarray,
-    lens: jnp.ndarray,
-    gps: jnp.ndarray,
-    keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
-    mismatch_thr: int = 10,
-):
-    from .map_read import map_read_pass2
-
-    map4 = jnp.asarray(MAP_FROM_SEQ4)
-    rows = jnp.take(sp, idx, axis=0)
-    s = unpack_seq4_jnp(rows, L)
-    codes = jnp.take(map4, s.astype(jnp.int32), axis=0)
-    return map_read_pass2(
-        codes, lens, gps[:, 0], gps[:, 1], gps[:, 2], gps[:, 3],
-        keys_tbl, vals_tbl, dupes, shift, max_dupe, mismatch_thr,
-    )

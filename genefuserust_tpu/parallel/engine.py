@@ -4,9 +4,10 @@ Replaces the reference's producer/consumer thread pipeline
 (src/core/pescanner.rs:296-425) with a batched device pipeline:
 
   host: FASTQ -> padded byte matrices (block reader, vectorized)
-  device: merge_batch (ops/merge.py)
-  host: lane compaction (merged pairs -> 1 lane, unmerged -> R1+R2 lanes)
-  device: map_read_batch (ops/map_read.py) over all lanes
+  host: packed 4-bit-seq/2-bit-qual-class upload (ops/pack.py)
+  device: one fused call — unpack, RC, merge-on-codes, 3-lane vote pass
+          (ops/fused.py), single scalar summary fetched
+  device: one combined pass2 over the compacted survivors of all lanes
   host: segment assembly -> direction check -> make_match + edit-distance
         verification (rare rows) -> match bins
   device: one tiny retry map_read batch for direction-rejected rows (the
@@ -28,7 +29,7 @@ import numpy as np
 from ..config import KMER, Settings
 from ..core.indexer import GenePos, SeqMatch
 from ..core.read import SequenceRead
-from ..core.sequence import BASE_CODE_LUT, COMPLEMENT_LUT
+from ..core.sequence import BASE_CODE_LUT
 
 log = logging.getLogger("genefuse")
 
@@ -45,23 +46,6 @@ def _tokenize_bytes(strings: List[bytes], L: int) -> Tuple[np.ndarray, np.ndarra
         arr[i, :n] = np.frombuffer(s, np.uint8)
         lens[i] = n
     return arr, lens
-
-
-def _rc_rows(seq: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Per-row reverse complement of padded byte rows (vectorized)."""
-    n, L = seq.shape
-    idx = lens[:, None] - 1 - np.arange(L)[None, :]
-    valid = idx >= 0
-    gathered = np.take_along_axis(seq, np.clip(idx, 0, L - 1), axis=1)
-    return np.where(valid, COMPLEMENT_LUT[gathered], 0).astype(np.uint8)
-
-
-def _rev_rows(q: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    n, L = q.shape
-    idx = lens[:, None] - 1 - np.arange(L)[None, :]
-    valid = idx >= 0
-    gathered = np.take_along_axis(q, np.clip(idx, 0, L - 1), axis=1)
-    return np.where(valid, gathered, 0).astype(np.uint8)
 
 
 class TpuEngine:
