@@ -48,24 +48,41 @@ SUMMARY_COLS = 18
 
 def _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L):
     """Merge on 4-bit codes + qual classes; rc2f/qc2f are full-flip arrays
-    (logical read right-aligned at L-l2)."""
+    (logical read right-aligned at L-l2).
+
+    Gather-free overlap scan: with s1/qc1 RIGHT-aligned (s1r[L-l1+j] =
+    s1[j]) and RC(R2) LEFT-aligned (t2l[i] = rc2f[L-l2+i]), the overlap
+    comparison at length o is s1r[L-o+i] vs t2l[i] — a STATIC slice per o,
+    so the O-loop is pure vector compares. Only the two re-alignments and
+    the merged-read construction use (fast flat) row_take gathers."""
+    from .gather import row_take
+
     B = s1.shape[0]
     O = L - MIN_OVERLAP + 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    # right-align R1: s1r[c] = s1[c - (L - l1)]
+    s1r = row_take(s1, col - (L - l1)[:, None])
+    s1r = jnp.where(col >= (L - l1)[:, None], s1r, 15)
+    q1r = row_take(qc1, col - (L - l1)[:, None])
+    # left-align RC(R2): t2l[i] = rc2f[(L - l2) + i]
+    t2l = row_take(rc2f, col + (L - l2)[:, None])
+    t2l = jnp.where(col < l2[:, None], t2l, 15)
+    q2l = row_take(qc2f, col + (L - l2)[:, None])
+
+    diffs = []
+    lqs = []
+    for o in range(MIN_OVERLAP, L + 1):
+        a1 = s1r[:, L - o :]
+        aq1 = q1r[:, L - o :]
+        a2 = t2l[:, :o]
+        aq2 = q2l[:, :o]
+        mism = a1 != a2
+        lq = mism & (((aq1 == 2) & (aq2 == 0)) | ((aq1 == 0) & (aq2 == 2)))
+        diffs.append(jnp.sum(mism.astype(jnp.int32), axis=1))
+        lqs.append(jnp.sum(lq.astype(jnp.int32), axis=1))
+    diff_tot = jnp.stack(diffs, axis=1)  # (B, O)
+    lq_tot = jnp.stack(lqs, axis=1)
     olens = MIN_OVERLAP + jax.lax.broadcasted_iota(jnp.int32, (B, O), 1)
-    offsets = l1[:, None] - olens
-    shift2 = (L - l2)[:, None, None]  # rc2 logical i -> column L-l2+i
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, O, L), 2)
-    j1 = offsets[:, :, None] + i_idx
-    j2 = shift2 + i_idx
-    in_ov = (i_idx < olens[:, :, None]) & (j1 >= 0) & (j1 < l1[:, None, None])
-    a1 = jnp.take_along_axis(s1[:, None, :], jnp.clip(j1, 0, L - 1), axis=2)
-    aq1 = jnp.take_along_axis(qc1[:, None, :], jnp.clip(j1, 0, L - 1), axis=2)
-    a2 = jnp.take_along_axis(rc2f[:, None, :], jnp.clip(j2, 0, L - 1), axis=2)
-    aq2 = jnp.take_along_axis(qc2f[:, None, :], jnp.clip(j2, 0, L - 1), axis=2)
-    mism = (a1 != a2) & in_ov
-    lq = mism & (((aq1 == 2) & (aq2 == 0)) | ((aq1 == 0) & (aq2 == 2)))
-    diff_tot = jnp.sum(mism.astype(jnp.int32), axis=2)
-    lq_tot = jnp.sum(lq.astype(jnp.int32), axis=2)
     o_valid = olens <= jnp.minimum(l1, l2)[:, None]
     ok = o_valid & (diff_tot == lq_tot) & (lq_tot <= 2)
     any_ok = jnp.any(ok, axis=1)
@@ -77,12 +94,12 @@ def _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L):
     out_len = offset + l2
     Lm = 2 * L
     jm = jax.lax.broadcasted_iota(jnp.int32, (B, Lm), 1)
-    im = jm - offset[:, None]  # logical index into rc2
-    col2 = (L - l2)[:, None] + im
-    g1 = jnp.take_along_axis(s1, jnp.clip(jm, 0, L - 1), axis=1)
-    gq1 = jnp.take_along_axis(qc1, jnp.clip(jm, 0, L - 1), axis=1)
-    g2 = jnp.take_along_axis(rc2f, jnp.clip(col2, 0, L - 1), axis=1)
-    gq2 = jnp.take_along_axis(qc2f, jnp.clip(col2, 0, L - 1), axis=1)
+    im = jm - offset[:, None]  # logical index into RC(R2)
+    # left parts read s1/qc1 directly (left-aligned, static columns)
+    g1 = jnp.concatenate([s1, jnp.full((B, Lm - L), 15, s1.dtype)], axis=1)
+    gq1 = jnp.concatenate([qc1, jnp.zeros((B, Lm - L), qc1.dtype)], axis=1)
+    g2 = row_take(t2l, im)
+    gq2 = row_take(q2l, im)
     in_left = jm < offset[:, None]
     in_overlap = (jm >= offset[:, None]) & (jm < l1[:, None])
     in_right = (jm >= l1[:, None]) & (jm < out_len[:, None])
