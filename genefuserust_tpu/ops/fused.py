@@ -184,12 +184,9 @@ def fused_pass1(
     static_argnames=("L", "chunk", "shift", "max_dupe", "major_req", "minor_req"),
 )
 def fused_pass1_chunked(
-    s1p: jnp.ndarray,
-    q1p: jnp.ndarray,
-    l1: jnp.ndarray,
-    s2p: jnp.ndarray,
-    q2p: jnp.ndarray,
-    l2: jnp.ndarray,
+    buf: jnp.ndarray,  # (B, 2*ceil(L/2)+2*ceil(L/4)) single packed upload:
+    #                      [s1p | q1p | s2p | q2p]
+    lens2: jnp.ndarray,  # (B, 2) int32 [l1, l2]
     keys_tbl: jnp.ndarray,
     vals_tbl: jnp.ndarray,
     dupes: jnp.ndarray,
@@ -201,14 +198,22 @@ def fused_pass1_chunked(
     minor_req: int = 20,
 ):
     """Large-batch fused pass1: lax.map over `chunk`-row slices bounds the
-    merge working set; returns (summary (B, 18) int32 — ONE host fetch —
-    and merged_codes (B, 2L) device-resident)."""
-    B = s1p.shape[0]
+    merge working set; ONE upload buffer in, ONE (B, 18) summary fetch out
+    (+ merged_codes (B, 2L) device-resident)."""
+    B = buf.shape[0]
     assert B % chunk == 0, "engine pads batches to a chunk multiple"
     n = B // chunk
+    w2 = (L + 1) // 2
+    w4 = (L + 3) // 4
 
     def one(args):
-        a_s1p, a_q1p, a_l1, a_s2p, a_q2p, a_l2 = args
+        a_buf, a_lens2 = args
+        a_s1p = a_buf[:, :w2]
+        a_q1p = a_buf[:, w2 : w2 + w4]
+        a_s2p = a_buf[:, w2 + w4 : 2 * w2 + w4]
+        a_q2p = a_buf[:, 2 * w2 + w4 :]
+        a_l1 = a_lens2[:, 0]
+        a_l2 = a_lens2[:, 1]
         r = fused_pass1(
             a_s1p, a_q1p, a_l1, a_s2p, a_q2p, a_l2,
             keys_tbl, vals_tbl, dupes, L, shift, max_dupe, major_req, minor_req,
@@ -230,9 +235,7 @@ def fused_pass1_chunked(
         return summary, r.merged_codes
 
     reshape = lambda x: x.reshape((n, chunk) + x.shape[1:])
-    summary, m_codes = jax.lax.map(
-        one, tuple(reshape(x) for x in (s1p, q1p, l1, s2p, q2p, l2))
-    )
+    summary, m_codes = jax.lax.map(one, (reshape(buf), reshape(lens2)))
     return summary.reshape(B, SUMMARY_COLS), m_codes.reshape(B, -1)
 
 
@@ -241,19 +244,24 @@ def fused_pass1_chunked(
 )
 def fused_pass2_combined(
     m_codes: jnp.ndarray,  # (B, 2L) 4-bit merged codes (device resident)
-    s1p: jnp.ndarray,  # (B, ceil(L/2)) packed R1
-    s2p: jnp.ndarray,  # (B, ceil(L/2)) packed R2
-    idx: jnp.ndarray,  # (PB,) int32 pair row per survivor
-    lane: jnp.ndarray,  # (PB,) int32 0=merged 1=r1 2=r2
-    lens: jnp.ndarray,  # (PB,)
-    gps: jnp.ndarray,  # (PB, 4)
+    buf: jnp.ndarray,  # the pass1 upload buffer (for R1/R2 packed codes)
+    work: jnp.ndarray,  # (PB, 7) int32 [idx, lane, len, gp0..gp3]
     keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
     mismatch_thr: int = 10,
 ):
     """One pass2 call for all three lane groups; r-lane rows are unpacked
-    and right-padded into the merged width (2L)."""
+    and right-padded into the merged width (2L). `work` is the single
+    small upload with all survivor descriptors."""
     from .map_read import map_read_pass2
 
+    w2 = (L + 1) // 2
+    w4 = (L + 3) // 4
+    s1p = buf[:, :w2]
+    s2p = buf[:, w2 + w4 : 2 * w2 + w4]
+    idx = work[:, 0]
+    lane = work[:, 1]
+    lens = work[:, 2]
+    gps = work[:, 3:7]
     map4 = jnp.asarray(MAP_FROM_SEQ4)
     L2 = m_codes.shape[1]
     mrows = jnp.take(m_codes, idx, axis=0)

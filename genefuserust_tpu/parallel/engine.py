@@ -228,19 +228,20 @@ class TpuEngine:
             l1 = np.concatenate([l1, np.zeros(padrows, np.int32)])
             l2 = np.concatenate([l2, np.zeros(padrows, np.int32)])
             B = padB
-        s1p = pack_seq4(SEQ4_LUT[b1])
-        s2p = pack_seq4(SEQ4_LUT[b2])
-        q1p = pack_q2(qual_class(q1))
-        q2p = pack_q2(qual_class(q2))
-        s1p_d = jnp.asarray(s1p)
-        s2p_d = jnp.asarray(s2p)
+        buf = np.concatenate(
+            [
+                pack_seq4(SEQ4_LUT[b1]),
+                pack_q2(qual_class(q1)),
+                pack_seq4(SEQ4_LUT[b2]),
+                pack_q2(qual_class(q2)),
+            ],
+            axis=1,
+        )
+        lens2 = np.stack([l1, l2], axis=1).astype(np.int32)
+        buf_d = jnp.asarray(buf)
         summary_d, m_codes_d = fused_pass1_chunked(
-            s1p_d,
-            jnp.asarray(q1p),
-            jnp.asarray(l1),
-            s2p_d,
-            jnp.asarray(q2p),
-            jnp.asarray(l2),
+            buf_d,
+            jnp.asarray(lens2),
             self._keys,
             self._vals,
             self._dupes,
@@ -298,26 +299,16 @@ class TpuEngine:
             pb = 8
             while pb < n_surv:
                 pb *= 2
-            pad = pb - n_surv
-            idxp = np.concatenate([idx, np.zeros(pad, np.int64)]).astype(np.int32)
-            lanep = np.concatenate([lane_arr, np.zeros(pad, np.int32)]).astype(
-                np.int32
-            )
-            lensp = np.concatenate([lens_arr, np.zeros(pad, np.int32)]).astype(
-                np.int32
-            )
-            gpsp = np.concatenate([gps_arr, np.zeros((pad, 4), np.int32)]).astype(
-                np.int32
-            )
+            work = np.zeros((pb, 7), np.int32)
+            work[:n_surv, 0] = idx
+            work[:n_surv, 1] = lane_arr
+            work[:n_surv, 2] = lens_arr
+            work[:n_surv, 3:7] = gps_arr
             out = np.asarray(
                 fused_pass2_combined(
                     m_codes_d,
-                    s1p_d,
-                    s2p_d,
-                    jnp.asarray(idxp),
-                    jnp.asarray(lanep),
-                    jnp.asarray(lensp),
-                    jnp.asarray(gpsp),
+                    buf_d,
+                    jnp.asarray(work),
                     self._keys,
                     self._vals,
                     self._dupes,
