@@ -147,6 +147,43 @@ class Scanner:
             )
         return self._finish(mapper)
 
+    def scan_pair_stream(self, blocks) -> FusionMapper:
+        """Streamed scan over an iterator of PairBlocks (large inputs)."""
+        mapper = FusionMapper(
+            self.contigs,
+            self.fusion_file,
+            self.settings,
+            self.multi_csv_mode,
+            self.index_cache_dir,
+            self.ref_file,
+        )
+        for block in blocks:
+            if hasattr(self.engine, "scan_pair_block"):
+                self.engine.scan_pair_block(mapper, block)
+            else:
+                self.engine.scan_pairs(
+                    mapper, (block.pair_obj(i) for i in range(len(block)))
+                )
+        return self._finish(mapper)
+
+    def scan_single_stream(self, blocks) -> FusionMapper:
+        mapper = FusionMapper(
+            self.contigs,
+            self.fusion_file,
+            self.settings,
+            self.multi_csv_mode,
+            self.index_cache_dir,
+            self.ref_file,
+        )
+        for rblock in blocks:
+            if hasattr(self.engine, "scan_single_block"):
+                self.engine.scan_single_block(mapper, rblock)
+            else:
+                self.engine.scan_singles(
+                    mapper, (rblock.read_obj(i) for i in range(len(rblock)))
+                )
+        return self._finish(mapper)
+
     def scan_single_block(self, rblock) -> FusionMapper:
         mapper = FusionMapper(
             self.contigs,

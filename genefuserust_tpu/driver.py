@@ -108,10 +108,14 @@ def scan(config: RunConfig, command: str) -> None:
             index_cache_dir=config.index_cache_dir,
             ref_file=config.ref_file,
         )
+        from .io.fastq_block import stream_fastq_blocks, stream_pair_blocks
+
         if config.r2_file:
-            scanner.scan_pair_block(read_pair_block(config.r1_file, config.r2_file))
+            scanner.scan_pair_stream(
+                stream_pair_blocks(config.r1_file, config.r2_file)
+            )
         else:
-            scanner.scan_single_block(read_fastq_block(config.r1_file))
+            scanner.scan_single_stream(stream_fastq_blocks(config.r1_file))
         return
 
     # ---- multi-CSV mode (reference: fusion_scan.rs:62-188) ----

@@ -51,6 +51,16 @@ class ReadBlock:
 
         return SequenceRead(self.name(i), self.seq_str(i), "+", self.qual_str(i))
 
+    def slice(self, a: int, b: int) -> "ReadBlock":
+        """Zero-copy sub-block [a, b) (buf shared)."""
+        return ReadBlock(
+            self.buf,
+            self.name_spans[a:b],
+            self.seq[a:b],
+            self.qual[a:b],
+            self.lens[a:b],
+        )
+
 
 def _ragged_to_padded(
     flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, L: int
@@ -126,3 +136,53 @@ class PairBlock:
 
 def read_pair_block(r1_path: str, r2_path: str) -> PairBlock:
     return PairBlock(read_fastq_block(r1_path), read_fastq_block(r2_path))
+
+
+def _stream_raw_records(path: str, chunk_bytes: int):
+    """Yield byte buffers each containing only COMPLETE 4-line records."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        carry = b""
+        while True:
+            data = f.read(chunk_bytes)
+            if not data:
+                if carry:
+                    yield carry
+                return
+            buf = carry + data
+            # cut at the last newline that completes a 4-line group
+            nl = np.nonzero(np.frombuffer(buf, np.uint8) == 10)[0]
+            n_full = (len(nl) // 4) * 4
+            if n_full == 0:
+                carry = buf
+                continue
+            cut = int(nl[n_full - 1]) + 1
+            yield buf[:cut]
+            carry = buf[cut:]
+
+
+def stream_fastq_blocks(path: str, chunk_bytes: int = 256 << 20):
+    """Iterator of ReadBlocks over a large FASTQ without loading it whole."""
+    for raw in _stream_raw_records(path, chunk_bytes):
+        block = parse_fastq_buffer(raw)
+        if len(block):
+            yield block
+
+
+def stream_pair_blocks(r1_path: str, r2_path: str, chunk_bytes: int = 256 << 20):
+    """Iterator of PairBlocks with equal record counts per side; stops at
+    the shorter file (reference pair-reader semantics)."""
+    it1 = stream_fastq_blocks(r1_path, chunk_bytes)
+    it2 = stream_fastq_blocks(r2_path, chunk_bytes)
+    b1 = b2 = None
+    while True:
+        if b1 is None or len(b1) == 0:
+            b1 = next(it1, None)
+        if b2 is None or len(b2) == 0:
+            b2 = next(it2, None)
+        if b1 is None or b2 is None:
+            return
+        n = min(len(b1), len(b2))
+        yield PairBlock(b1.slice(0, n), b2.slice(0, n))
+        b1 = b1.slice(n, len(b1))
+        b2 = b2.slice(n, len(b2))

@@ -214,8 +214,12 @@ class TpuEngine:
         B, L = b1.shape
         orig_B = B
         st = self.settings
-        chunk = min(2048, B)
-        padB = _round_up(B, chunk)
+        # pad to a power of two: bounds the number of compiled shape
+        # variants (partial trailing batches would otherwise each compile)
+        padB = 16
+        while padB < B:
+            padB *= 2
+        chunk = min(2048, padB)
         if padB != B:
             padrows = padB - B
 

@@ -73,3 +73,41 @@ def test_block_scan_equals_object_scan(tmp_path):
     assert [f.title for f in m1.fusion_results] == [
         f.title for f in m2.fusion_results
     ]
+
+
+def test_streamed_blocks_equal_whole_file(tmp_path):
+    from genefuserust_tpu.io.fastq_block import (
+        read_pair_block,
+        stream_pair_blocks,
+    )
+
+    panel = make_panel()
+    pairs = plant_fusion_pairs(panel, n_support=4, n_background=30)
+    r1, r2 = write_fastq_files(pairs, str(tmp_path))
+    whole = read_pair_block(r1, r2)
+    # tiny chunks force many block boundaries
+    streamed = list(stream_pair_blocks(r1, r2, chunk_bytes=1024))
+    assert len(streamed) > 3
+    tot = sum(len(b) for b in streamed)
+    assert tot == len(whole)
+    k = 0
+    for blk in streamed:
+        for i in range(len(blk)):
+            assert blk.left.name(i) == whole.left.name(k)
+            assert blk.left.seq_str(i) == whole.left.seq_str(k)
+            assert blk.right.qual_str(i) == whole.right.qual_str(k)
+            k += 1
+    # full streamed scan equals whole-block scan
+    _, csv_path = write_panel_files(panel, str(tmp_path))
+    sA = Scanner(csv_path, panel.contigs, "", str(tmp_path / "a.json"), Settings(),
+                 engine=TpuEngine(Settings(), batch_size=16), command="s")
+    mA = sA.scan_pair_stream(stream_pair_blocks(r1, r2, chunk_bytes=2048))
+    sB = Scanner(csv_path, panel.contigs, "", str(tmp_path / "b.json"), Settings(),
+                 engine=TpuEngine(Settings(), batch_size=64), command="s")
+    mB = sB.scan_pair_block(read_pair_block(r1, r2))
+    strip = lambda s: "\n".join(
+        l for l in s.splitlines() if not l.startswith('\t"time"')
+    )
+    assert strip((tmp_path / "a.json").read_text()) == strip(
+        (tmp_path / "b.json").read_text()
+    )
