@@ -244,12 +244,14 @@ def main():
         ),
     )
     engine.scan_pair_block(mapper, warm)
+    engine.flush(mapper)
     print(f"# warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     n_matches0 = sum(len(b) for b in mapper.fusion_matches)
     t0 = time.time()
     for _ in range(args.iters):
         engine.scan_pair_block(mapper, block)
+    engine.flush(mapper)
     dt = time.time() - t0
     n_matches = sum(len(b) for b in mapper.fusion_matches) - n_matches0
     pairs_per_sec = args.pairs * args.iters / dt

@@ -202,6 +202,8 @@ class Scanner:
         return self._finish(mapper)
 
     def _finish(self, mapper: FusionMapper) -> FusionMapper:
+        if hasattr(self.engine, "flush"):
+            self.engine.flush(mapper)
         mapper.filter_matches()
         mapper.sort_matches()
         mapper.cluster_matches()

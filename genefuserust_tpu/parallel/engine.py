@@ -61,6 +61,7 @@ class TpuEngine:
         self._packed = None
         self._progress_t0 = None
         self._progress_n = 0
+        self._pending = None
 
     def _progress(self, n: int) -> None:
         """Throughput logging (reference progress bars: src/aux/pbar.rs)."""
@@ -190,6 +191,25 @@ class TpuEngine:
     def _scan_pair_matrices(
         self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable, left_name: Callable
     ) -> None:
+        """Issue the batch's device work, then complete the PREVIOUS
+        batch while this one executes (software pipelining over the
+        dispatch/transfer latency). Scanner._finish / engine.flush drains
+        the trailing batch."""
+        ctx = self._issue_pair_batch(mapper, b1, q1, l1, b2, q2, l2, pair_obj)
+        pending = self._pending
+        self._pending = ctx
+        if pending is not None:
+            self._complete_pair_batch(*pending)
+
+    def flush(self, mapper=None) -> None:
+        if self._pending is not None:
+            pending = self._pending
+            self._pending = None
+            self._complete_pair_batch(*pending)
+
+    def _issue_pair_batch(
+        self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable
+    ):
         """Fused device pipeline: packed upload -> device merge+pass1 ->
         compacted pass2 per lane group -> host assembly of hits only."""
         import jax.numpy as jnp
@@ -256,6 +276,17 @@ class TpuEngine:
             st.major_gene_key_requirement,
             st.minor_gene_key_requirement,
         )
+        return (mapper, summary_d, m_codes_d, buf_d, l1, l2, L, pair_obj, orig_B)
+
+    def _complete_pair_batch(
+        self, mapper, summary_d, m_codes_d, buf_d, l1, l2, L, pair_obj, orig_B
+    ) -> None:
+        import jax.numpy as jnp
+
+        from ..core.read import SequenceReadPair
+        from ..ops.fused import fused_pass2_combined
+
+        st = self.settings
         S = np.asarray(summary_d)  # ONE host fetch for the whole batch
         merged = S[:, 0].astype(bool)
         m_diff = S[:, 1]
