@@ -20,18 +20,31 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import gen_pairs, get_packed
+    from bench import get_packed
     from genefuserust_tpu.core.sequence import BASE_CODE_LUT
     from genefuserust_tpu.ops import map_read as M
     from genefuserust_tpu.ops.merge import merge_batch
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
-    packed, _ = get_packed(args.panel_mbp)
-    table = jax.device_put(jnp.asarray(packed.table), dev)
+    from bench import get_mapper
+
+    mapper = get_mapper(args.panel_mbp)
+    packed = get_packed(mapper, args.panel_mbp)
+    keys_tbl = jax.device_put(jnp.asarray(packed.keys_tbl), dev)
+    vals_tbl = jax.device_put(jnp.asarray(packed.vals_tbl), dev)
     dupes = jax.device_put(jnp.asarray(packed.dupes), dev)
     B, L = args.batch, args.read_len
-    b1, q1, b2, b2r, q2r, lens = gen_pairs(args.panel_mbp, B, L)
+    from bench import gen_block
+
+    blk = gen_block(mapper, B, L)
+    b1, q1 = blk.left.seq, blk.left.qual
+    lens = blk.left.lens
+    from genefuserust_tpu.core.sequence import COMPLEMENT_LUT
+
+    b2 = blk.right.seq
+    b2r = COMPLEMENT_LUT[b2][:, ::-1].copy()
+    q2r = blk.right.qual[:, ::-1].copy()
     codes = BASE_CODE_LUT[b1]
     d = lambda x: jax.device_put(jnp.asarray(x), dev)
     codes_d, lens_d = d(codes), d(lens)
@@ -54,8 +67,10 @@ def main():
     km_fn = jax.jit(M.compute_kmers)
     km, kv = bench("compute_kmers", km_fn, codes_d, lens_d)
 
-    lk_fn = jax.jit(lambda t, k, v: M.hash_lookup(t, packed.shift, k, v))
-    contig, pos = bench("hash_lookup", lk_fn, table, km, kv)
+    lk_fn = jax.jit(
+        lambda kt, vt, k, v: M.hash_lookup((kt, vt), packed.shift, k, v)
+    )
+    contig, pos = bench("hash_lookup", lk_fn, keys_tbl, vals_tbl, km, kv)
 
     ex_fn = jax.jit(
         lambda c, p, dp: M.expand_candidates(c, p, dp, packed.max_dupe)
@@ -100,11 +115,11 @@ def main():
     bench("extract_segments", seg_fn, mask, lens_d)
 
     full = jax.jit(
-        lambda c, l, t, dp: M.map_read_batch(
-            c, l, t, dp, packed.shift, packed.max_dupe
+        lambda c, l, kt, vt, dp: M.map_read_batch(
+            c, l, kt, vt, dp, packed.shift, packed.max_dupe
         )
     )
-    bench("map_read_batch(full)", full, codes_d, lens_d, table, dupes)
+    bench("map_read_batch(full)", full, codes_d, lens_d, keys_tbl, vals_tbl, dupes)
 
     mg = jax.jit(merge_batch)
     bench("merge_batch", mg, b1d, q1d, lens_d, b2rd, q2rd, lens_d)
