@@ -239,6 +239,95 @@ def fused_pass1_chunked(
     return summary.reshape(B, SUMMARY_COLS), m_codes.reshape(B, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("L", "chunk"))
+def fused_merge_chunked(
+    buf: jnp.ndarray,  # (B, 2*ceil(L/2)+2*ceil(L/4)) packed upload
+    lens2: jnp.ndarray,  # (B, 2) int32
+    L: int,
+    chunk: int,
+):
+    """Merge-only stage: -> (msum (B, 3) int32 [merged, diff, m_len] — one
+    fetch — and m_codes (B, 2L) device-resident)."""
+    B = buf.shape[0]
+    assert B % chunk == 0
+    n = B // chunk
+    w2 = (L + 1) // 2
+    w4 = (L + 3) // 4
+    comp4 = jnp.asarray(COMP4)
+
+    def one(args):
+        a_buf, a_lens2 = args
+        s1 = unpack_seq4_jnp(a_buf[:, :w2], L)
+        qc1 = unpack_q2_jnp(a_buf[:, w2 : w2 + w4], L)
+        s2 = unpack_seq4_jnp(a_buf[:, w2 + w4 : 2 * w2 + w4], L)
+        qc2 = unpack_q2_jnp(a_buf[:, 2 * w2 + w4 :], L)
+        l1 = a_lens2[:, 0]
+        l2 = a_lens2[:, 1]
+        rc2f = jnp.take(comp4, s2[:, ::-1].astype(jnp.int32), axis=0)
+        qc2f = qc2[:, ::-1]
+        merged, diff, m_len, m_codes = _merge_codes(
+            s1, qc1, l1, rc2f, qc2f, l2, L
+        )
+        msum = jnp.stack([merged.astype(jnp.int32), diff, m_len], axis=1)
+        return msum, m_codes
+
+    reshape = lambda x: x.reshape((n, chunk) + x.shape[1:])
+    msum, m_codes = jax.lax.map(one, (reshape(buf), reshape(lens2)))
+    return msum.reshape(B, 3), m_codes.reshape(B, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L2", "shift", "max_dupe", "major_req", "minor_req"),
+)
+def pass1_rows_merged(
+    m_codes: jnp.ndarray,  # (B, 2L) device-resident merged codes
+    idx: jnp.ndarray,  # (PB,) int32 pair rows (merged lanes only)
+    lens: jnp.ndarray,  # (PB,)
+    keys_tbl, vals_tbl, dupes, L2: int, shift: int, max_dupe: int,
+    major_req: int = 40, minor_req: int = 20,
+):
+    """Vote pass over compacted merged-lane rows. -> (PB, 5) int32
+    [ok, h1, l1, h2, l2]."""
+    map4 = jnp.asarray(MAP_FROM_SEQ4)
+    rows = jnp.take(m_codes, idx, axis=0)
+    codes = jnp.take(map4, rows.astype(jnp.int32), axis=0)
+    ok, h1, l1, h2, l2 = map_read_pass1(
+        codes, lens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
+        major_req, minor_req,
+    )
+    return jnp.stack([ok.astype(jnp.int32), h1, l1, h2, l2], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "shift", "max_dupe", "major_req", "minor_req"),
+)
+def pass1_rows_packed(
+    buf: jnp.ndarray,  # the pass1 upload buffer (R1/R2 packed codes)
+    work: jnp.ndarray,  # (PB, 3) int32 [pair_idx, lane(1|2), len]
+    keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
+    major_req: int = 40, minor_req: int = 20,
+):
+    """Vote pass over compacted R1/R2 lanes (unmerged pairs)."""
+    w2 = (L + 1) // 2
+    w4 = (L + 3) // 4
+    idx = work[:, 0]
+    lane = work[:, 1]
+    lens = work[:, 2]
+    s1rows = jnp.take(buf[:, :w2], idx, axis=0)
+    s2rows = jnp.take(buf[:, w2 + w4 : 2 * w2 + w4], idx, axis=0)
+    rows = jnp.where((lane == 1)[:, None], s1rows, s2rows)
+    s = unpack_seq4_jnp(rows, L)
+    map4 = jnp.asarray(MAP_FROM_SEQ4)
+    codes = jnp.take(map4, s.astype(jnp.int32), axis=0)
+    ok, h1, l1, h2, l2 = map_read_pass1(
+        codes, lens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
+        major_req, minor_req,
+    )
+    return jnp.stack([ok.astype(jnp.int32), h1, l1, h2, l2], axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("L", "shift", "max_dupe", "mismatch_thr")
 )

@@ -61,7 +61,7 @@ class TpuEngine:
         self._packed = None
         self._progress_t0 = None
         self._progress_n = 0
-        self._pending = None
+        self._queue = []
 
     def _progress(self, n: int) -> None:
         """Throughput logging (reference progress bars: src/aux/pbar.rs)."""
@@ -191,31 +191,35 @@ class TpuEngine:
     def _scan_pair_matrices(
         self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable, left_name: Callable
     ) -> None:
-        """Issue the batch's device work, then complete the PREVIOUS
-        batch while this one executes (software pipelining over the
-        dispatch/transfer latency). Scanner._finish / engine.flush drains
-        the trailing batch."""
-        ctx = self._issue_pair_batch(mapper, b1, q1, l1, b2, q2, l2, pair_obj)
-        pending = self._pending
-        self._pending = ctx
-        if pending is not None:
-            self._complete_pair_batch(*pending)
+        """Staged pipeline: merge -> compacted pass1 (merged lane + R1/R2
+        lanes separately; merged pairs never pay the R lanes) -> combined
+        pass2 -> assembly. Stages of successive batches are interleaved so
+        fetches overlap younger batches' device work; engine.flush drains."""
+        ctx = self._st0_issue_merge(mapper, b1, q1, l1, b2, q2, l2, pair_obj)
+        self._queue.append(ctx)
+        # advance older batches one stage each (oldest first)
+        for c in list(self._queue[:-1]):
+            self._advance(c)
+        while self._queue and self._queue[0]["stage"] >= 3:
+            self._queue.pop(0)
+        while len(self._queue) > 4:
+            c = self._queue.pop(0)
+            while c["stage"] < 3:
+                self._advance(c)
 
     def flush(self, mapper=None) -> None:
-        if self._pending is not None:
-            pending = self._pending
-            self._pending = None
-            self._complete_pair_batch(*pending)
+        while self._queue:
+            c = self._queue.pop(0)
+            while c["stage"] < 3:
+                self._advance(c)
 
-    def _issue_pair_batch(
-        self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable
-    ):
-        """Fused device pipeline: packed upload -> device merge+pass1 ->
-        compacted pass2 per lane group -> host assembly of hits only."""
+    # ---- stage 0: pack, upload, issue merge ----
+
+    def _st0_issue_merge(self, mapper, b1, q1, l1, b2, q2, l2, pair_obj):
         import jax.numpy as jnp
 
         from ..core.read import SequenceReadPair
-        from ..ops.fused import fused_pass1_chunked, fused_pass2_combined
+        from ..ops.fused import fused_merge_chunked
         from ..ops.pack import SEQ4_LUT, has_exotic, pack_q2, pack_seq4, qual_class
 
         l1 = np.asarray(l1, np.int32).copy()
@@ -233,9 +237,7 @@ class TpuEngine:
 
         B, L = b1.shape
         orig_B = B
-        st = self.settings
-        # pad to a power of two: bounds the number of compiled shape
-        # variants (partial trailing batches would otherwise each compile)
+        # pad to a power of two: bounds compiled shape variants
         padB = 16
         while padB < B:
             padB *= 2
@@ -263,41 +265,165 @@ class TpuEngine:
         )
         lens2 = np.stack([l1, l2], axis=1).astype(np.int32)
         buf_d = jnp.asarray(buf)
-        summary_d, m_codes_d = fused_pass1_chunked(
-            buf_d,
-            jnp.asarray(lens2),
-            self._keys,
-            self._vals,
-            self._dupes,
-            L,
-            chunk,
-            self._packed.shift,
-            self._packed.max_dupe,
-            st.major_gene_key_requirement,
-            st.minor_gene_key_requirement,
+        msum_d, m_codes_d = fused_merge_chunked(
+            buf_d, jnp.asarray(lens2), L, chunk
         )
-        return (mapper, summary_d, m_codes_d, buf_d, l1, l2, L, pair_obj, orig_B)
+        return dict(
+            stage=0,
+            mapper=mapper,
+            msum_d=msum_d,
+            m_codes_d=m_codes_d,
+            buf_d=buf_d,
+            l1=l1,
+            l2=l2,
+            L=L,
+            pair_obj=pair_obj,
+            orig_B=orig_B,
+        )
 
-    def _complete_pair_batch(
-        self, mapper, summary_d, m_codes_d, buf_d, l1, l2, L, pair_obj, orig_B
-    ) -> None:
+    def _advance(self, c) -> None:
+        if c["stage"] == 0:
+            self._st1_issue_pass1(c)
+        elif c["stage"] == 1:
+            self._st2_issue_pass2(c)
+        elif c["stage"] == 2:
+            self._st3_assemble(c)
+
+    # ---- stage 1: fetch merge summary, issue compacted pass1 ----
+
+    def _st1_issue_pass1(self, c) -> None:
         import jax.numpy as jnp
 
-        from ..core.read import SequenceReadPair
+        from ..ops.fused import pass1_rows_merged, pass1_rows_packed
+
+        st = self.settings
+        M = np.asarray(c["msum_d"])  # one fetch
+        merged = M[:, 0].astype(bool)
+        c["m_diff"] = M[:, 1]
+        c["m_len"] = M[:, 2]
+        c["merged"] = merged
+        rows_m = np.nonzero(merged)[0]
+        uidx = np.nonzero(~merged & (c["l1"] > 0))[0]
+        c["rows_m"] = rows_m
+        c["uidx"] = uidx
+        c["pm_d"] = None
+        c["pr_d"] = None
+        common = (self._keys, self._vals, self._dupes)
+        if len(rows_m):
+            pb = 8
+            while pb < len(rows_m):
+                pb *= 2
+            mi = np.zeros(pb, np.int32)
+            ml = np.zeros(pb, np.int32)
+            mi[: len(rows_m)] = rows_m
+            ml[: len(rows_m)] = c["m_len"][rows_m]
+            c["pm_d"] = pass1_rows_merged(
+                c["m_codes_d"],
+                jnp.asarray(mi),
+                jnp.asarray(ml),
+                *common,
+                L2=2 * c["L"],
+                shift=self._packed.shift,
+                max_dupe=self._packed.max_dupe,
+                major_req=st.major_gene_key_requirement,
+                minor_req=st.minor_gene_key_requirement,
+            )
+        if len(uidx):
+            n_r = 2 * len(uidx)
+            pb = 8
+            while pb < n_r:
+                pb *= 2
+            rwork = np.zeros((pb, 3), np.int32)
+            rwork[: len(uidx), 0] = uidx
+            rwork[: len(uidx), 1] = 1
+            rwork[: len(uidx), 2] = c["l1"][uidx]
+            rwork[len(uidx) : n_r, 0] = uidx
+            rwork[len(uidx) : n_r, 1] = 2
+            rwork[len(uidx) : n_r, 2] = c["l2"][uidx]
+            c["rwork"] = rwork
+            c["n_r"] = n_r
+            c["pr_d"] = pass1_rows_packed(
+                c["buf_d"],
+                jnp.asarray(rwork),
+                *common,
+                L=c["L"],
+                shift=self._packed.shift,
+                max_dupe=self._packed.max_dupe,
+                major_req=st.major_gene_key_requirement,
+                minor_req=st.minor_gene_key_requirement,
+            )
+        c["stage"] = 1
+
+    # ---- stage 2: fetch pass1, issue combined pass2 for survivors ----
+
+    def _st2_issue_pass2(self, c) -> None:
+        import jax.numpy as jnp
+
         from ..ops.fused import fused_pass2_combined
 
         st = self.settings
-        S = np.asarray(summary_d)  # ONE host fetch for the whole batch
-        merged = S[:, 0].astype(bool)
-        m_diff = S[:, 1]
-        m_len = S[:, 2]
-        ok_m = S[:, 3].astype(bool) & merged
-        gp_m = S[:, 4:8]
-        ok_1 = S[:, 8].astype(bool) & ~merged
-        gp_1 = S[:, 9:13]
-        ok_2 = S[:, 13].astype(bool) & ~merged
-        gp_2 = S[:, 14:18]
+        idx_list = []
+        lane_list = []
+        lens_list = []
+        gps_list = []
+        if c["pm_d"] is not None:
+            P = np.asarray(c["pm_d"])  # (pb, 5)
+            k = len(c["rows_m"])
+            ok = P[:k, 0].astype(bool)
+            sel = np.nonzero(ok)[0]
+            idx_list.append(c["rows_m"][sel])
+            lane_list.append(np.zeros(len(sel), np.int32))
+            lens_list.append(c["m_len"][c["rows_m"][sel]])
+            gps_list.append(P[sel, 1:5])
+        if c["pr_d"] is not None:
+            P = np.asarray(c["pr_d"])
+            k = c["n_r"]
+            ok = P[:k, 0].astype(bool)
+            sel = np.nonzero(ok)[0]
+            rw = c["rwork"]
+            idx_list.append(rw[sel, 0])
+            lane_list.append(rw[sel, 1])
+            lens_list.append(rw[sel, 2])
+            gps_list.append(P[sel, 1:5])
+        c["out_d"] = None
+        if idx_list and sum(len(x) for x in idx_list):
+            idx = np.concatenate(idx_list).astype(np.int64)
+            lane_arr = np.concatenate(lane_list).astype(np.int32)
+            lens_arr = np.concatenate(lens_list).astype(np.int32)
+            gps_arr = np.concatenate(gps_list).astype(np.int32)
+            n_surv = len(idx)
+            pb = 8
+            while pb < n_surv:
+                pb *= 2
+            work = np.zeros((pb, 7), np.int32)
+            work[:n_surv, 0] = idx
+            work[:n_surv, 1] = lane_arr
+            work[:n_surv, 2] = lens_arr
+            work[:n_surv, 3:7] = gps_arr
+            c["surv_idx"] = idx
+            c["surv_lane"] = lane_arr
+            c["n_surv"] = n_surv
+            c["out_d"] = fused_pass2_combined(
+                c["m_codes_d"],
+                c["buf_d"],
+                jnp.asarray(work),
+                self._keys,
+                self._vals,
+                self._dupes,
+                L=c["L"],
+                shift=self._packed.shift,
+                max_dupe=self._packed.max_dupe,
+                mismatch_thr=st.mismatch_threshold,
+            )
+        c["stage"] = 2
 
+    # ---- stage 3: fetch pass2, assemble matches ----
+
+    def _st3_assemble(self, c) -> None:
+        from ..core.read import SequenceReadPair
+
+        mapper = c["mapper"]
+        pair_obj = c["pair_obj"]
         merged_read_cache = {}
 
         def merged_read(i: int) -> SequenceRead:
@@ -314,50 +440,14 @@ class TpuEngine:
             lr = pair_obj(i)
             return lr[0] if lane == 1 else lr[1]
 
-        # ---- combined pass2 over all three lane groups ----
-        rows_m = np.nonzero(ok_m)[0]
-        rows_1 = np.nonzero(ok_1)[0]
-        rows_2 = np.nonzero(ok_2)[0]
-        n_surv = len(rows_m) + len(rows_1) + len(rows_2)
         retry: List[Tuple[int, int, SequenceRead]] = []
-        if n_surv:
-            idx = np.concatenate([rows_m, rows_1, rows_2])
-            lane_arr = np.concatenate(
-                [
-                    np.zeros(len(rows_m), np.int32),
-                    np.ones(len(rows_1), np.int32),
-                    np.full(len(rows_2), 2, np.int32),
-                ]
-            )
-            lens_arr = np.concatenate([m_len[rows_m], l1[rows_1], l2[rows_2]])
-            gps_arr = np.concatenate([gp_m[rows_m], gp_1[rows_1], gp_2[rows_2]])
-            pb = 8
-            while pb < n_surv:
-                pb *= 2
-            work = np.zeros((pb, 7), np.int32)
-            work[:n_surv, 0] = idx
-            work[:n_surv, 1] = lane_arr
-            work[:n_surv, 2] = lens_arr
-            work[:n_surv, 3:7] = gps_arr
-            out = np.asarray(
-                fused_pass2_combined(
-                    m_codes_d,
-                    buf_d,
-                    jnp.asarray(work),
-                    self._keys,
-                    self._vals,
-                    self._dupes,
-                    L=L,
-                    shift=self._packed.shift,
-                    max_dupe=self._packed.max_dupe,
-                    mismatch_thr=st.mismatch_threshold,
-                )
-            )  # ONE fetch: (pb, 10)
-            for k in range(n_surv):
+        if c["out_d"] is not None:
+            out = np.asarray(c["out_d"])  # (pb, 10)
+            for k in range(c["n_surv"]):
                 if not (out[k, 0] and out[k, 1]):
                     continue
-                i = int(idx[k])
-                lane = int(lane_arr[k])
+                i = int(c["surv_idx"][k])
+                lane = int(c["surv_lane"][k])
                 mapping = [
                     SeqMatch(
                         int(out[k, 2 + t]),
@@ -373,10 +463,10 @@ class TpuEngine:
                     mapper.add_match(m)
                 else:
                     retry.append((i, lane, read_for(i, lane).reverse_complement()))
-
         if retry:
             self._retry(mapper, retry, pair_obj)
-        self._progress(orig_B)
+        self._progress(c["orig_B"])
+        c["stage"] = 3
 
     def _retry(self, mapper, retry, pair_obj) -> None:
         """RC retry for direction-rejected reads (tiny batch)."""
