@@ -303,7 +303,9 @@ class TpuEngine:
         c["m_len"] = M[:, 2]
         c["merged"] = merged
         rows_m = np.nonzero(merged)[0]
-        uidx = np.nonzero(~merged & (c["l1"] > 0))[0]
+        # unmerged pairs with at least one live read map both lanes (a dead
+        # lane is len-0 and gated on device); padded/exotic rows have both 0
+        uidx = np.nonzero(~merged & ((c["l1"] > 0) | (c["l2"] > 0)))[0]
         c["rows_m"] = rows_m
         c["uidx"] = uidx
         c["pm_d"] = None
