@@ -29,6 +29,7 @@ class ReadBlock:
 
     buf: bytes  # raw file buffer (shared)
     name_spans: np.ndarray  # (n, 2) int64 offsets into buf
+    strand_spans: np.ndarray  # (n, 2) int64 (the FASTQ '+' line, verbatim)
     seq: np.ndarray  # (n, L) uint8, zero-padded
     qual: np.ndarray  # (n, L) uint8
     lens: np.ndarray  # (n,) int32
@@ -40,6 +41,10 @@ class ReadBlock:
         s, e = self.name_spans[i]
         return self.buf[s:e].decode("latin-1")
 
+    def strand(self, i: int) -> str:
+        s, e = self.strand_spans[i]
+        return self.buf[s:e].decode("latin-1")
+
     def seq_str(self, i: int) -> str:
         return self.seq[i, : self.lens[i]].tobytes().decode("latin-1")
 
@@ -49,13 +54,16 @@ class ReadBlock:
     def read_obj(self, i: int):
         from ..core.read import SequenceRead
 
-        return SequenceRead(self.name(i), self.seq_str(i), "+", self.qual_str(i))
+        return SequenceRead(
+            self.name(i), self.seq_str(i), self.strand(i), self.qual_str(i)
+        )
 
     def slice(self, a: int, b: int) -> "ReadBlock":
         """Zero-copy sub-block [a, b) (buf shared)."""
         return ReadBlock(
             self.buf,
             self.name_spans[a:b],
+            self.strand_spans[a:b],
             self.seq[a:b],
             self.qual[a:b],
             self.lens[a:b],
@@ -89,18 +97,32 @@ def parse_fastq_buffer(data: bytes) -> ReadBlock:
     line_end = nl  # exclusive, newline stripped
     n_lines = len(nl)
     lengths = line_end - line_start
-    if np.any(lengths > FASTQ_LINE_LIMIT):
-        bad = int(np.argmax(lengths > FASTQ_LINE_LIMIT))
+    # reference LimitedBufReader: a line needing more than the 1000-byte
+    # take budget (content + newline) trips the truncation panic, so
+    # content >= 1000 fails — EXCEPT a final unterminated line of exactly
+    # 1000 bytes (nothing remains after the budget, so no panic)
+    over = lengths >= FASTQ_LINE_LIMIT
+    if len(over) and over[-1] and lengths[-1] == FASTQ_LINE_LIMIT and (
+        len(nl) == 0 or int(nl[-1]) == len(data)
+    ):
+        over = over.copy()
+        over[-1] = False
+    if np.any(over):
+        bad = int(np.argmax(over))
         raise RuntimeError(
             f"FASTQ line {bad} exceeds {FASTQ_LINE_LIMIT} bytes "
             "(reference LimitedBufReader panics)"
         )
     n = n_lines // 4  # incomplete trailing record dropped (scalar: None)
     if n == 0:
-        return ReadBlock(data, np.zeros((0, 2), np.int64), np.zeros((0, 1), np.uint8),
+        return ReadBlock(data, np.zeros((0, 2), np.int64),
+                         np.zeros((0, 2), np.int64), np.zeros((0, 1), np.uint8),
                          np.zeros((0, 1), np.uint8), np.zeros(0, np.int32))
     name_spans = np.stack(
         [line_start[0 : 4 * n : 4], line_end[0 : 4 * n : 4]], axis=1
+    )
+    strand_spans = np.stack(
+        [line_start[2 : 4 * n : 4], line_end[2 : 4 * n : 4]], axis=1
     )
     seq_starts = line_start[1 : 4 * n : 4]
     seq_lens = (line_end[1 : 4 * n : 4] - seq_starts).astype(np.int32)
@@ -110,7 +132,7 @@ def parse_fastq_buffer(data: bytes) -> ReadBlock:
     seq = _ragged_to_padded(flat, seq_starts, seq_lens, L)
     Lq = max(L, int(qual_lens.max()))
     qual = _ragged_to_padded(flat, qual_starts, qual_lens, Lq)[:, :L]
-    return ReadBlock(data, name_spans, seq, qual, seq_lens)
+    return ReadBlock(data, name_spans, strand_spans, seq, qual, seq_lens)
 
 
 def read_fastq_block(path: str) -> ReadBlock:

@@ -91,21 +91,27 @@ class Gene:
         return out
 
     def get_exon_intron(self, pos: int) -> Tuple[bool, int]:
-        """-> (is_exon, exon_or_intron_id); defaults preserved when no window
-        matches (caller supplies initial values — reference leaves its out
-        params untouched then: src/core/gene.rs:173-205)."""
+        """-> (is_exon, exon_or_intron_id); (False, -1) when no window
+        matches (FusionResult's initial values, fusion_result.rs:50-57).
+
+        Faithful quirk: the reference's prev_exon is initialized to
+        exons[0] and NEVER advanced (gene.rs:181-199), so intron windows
+        compare against the FIRST exon's bound, not exons[i-1] (pos2str,
+        a separate function, does use exons[i-1]). Identical results for
+        monotonic exon lists; reproduced exactly for non-monotonic ones."""
         pp = abs(pos) + self.start
+        first = self.exons[0] if self.exons else None
         for i, exon in enumerate(self.exons):
             if exon.start <= pp <= exon.end:
                 return True, exon.id
             if i > 0:
                 if self.reversed:
-                    if exon.end < pp < self.exons[i - 1].start:
+                    if exon.end < pp < first.start:
                         return False, exon.id - 1
                 else:
-                    if self.exons[i - 1].end < pp < exon.start:
+                    if first.end < pp < exon.start:
                         return False, exon.id - 1
-        return False, -1  # sentinel: FusionResult initializes ids to -1
+        return False, -1
 
     def gene_pos_2_chr_pos(self, genepos: int) -> int:
         """reference: src/core/gene.rs:207-214."""

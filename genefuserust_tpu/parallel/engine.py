@@ -143,7 +143,6 @@ class TpuEngine:
                     block.left.read_obj(s + i),
                     block.right.read_obj(s + i),
                 ),
-                lambda i, s=s: block.left.name(s + i),
             )
 
     def scan_single_block(self, mapper, rblock) -> None:
@@ -178,7 +177,6 @@ class TpuEngine:
             q2,
             l2,
             lambda i: (pairs[i].left, pairs[i].right),
-            lambda i: pairs[i].left.name,
         )
 
     def _singles_from_objects(self, mapper, reads: List) -> None:
@@ -189,7 +187,7 @@ class TpuEngine:
     # ------------- core batch processing -------------
 
     def _scan_pair_matrices(
-        self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable, left_name: Callable
+        self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable
     ) -> None:
         """Staged pipeline: merge -> compacted pass1 (merged lane + R1/R2
         lanes separately; merged pairs never pay the R lanes) -> combined
@@ -235,9 +233,23 @@ class TpuEngine:
             l1[exotic] = 0
             l2[exotic] = 0
 
-        B, L = b1.shape
+        B = b1.shape[0]
         orig_B = B
-        # pad to a power of two: bounds compiled shape variants
+        # R1/R2 blocks may have different widths (independently parsed
+        # files); all kernels slice the packed buffer with offsets from ONE
+        # width, so pad both sides to a common L (floor 32 also guards the
+        # MIN_OVERLAP/KMER loops against all-short batches)
+        L = _round_up(max(32, b1.shape[1], b2.shape[1]), 32)
+
+        def padw(a):
+            if a.shape[1] == L:
+                return a
+            out = np.zeros((a.shape[0], L), a.dtype)
+            out[:, : a.shape[1]] = a
+            return out
+
+        b1, q1, b2, q2 = padw(b1), padw(q1), padw(b2), padw(q2)
+        # pad rows to a power of two: bounds compiled shape variants
         padB = 16
         while padB < B:
             padB *= 2
@@ -466,18 +478,19 @@ class TpuEngine:
                 else:
                     retry.append((i, lane, read_for(i, lane).reverse_complement()))
         if retry:
-            self._retry(mapper, retry, pair_obj)
+            self._retry(mapper, retry, lambda i: list(pair_obj(i)))
         self._progress(c["orig_B"])
         c["stage"] = 3
 
-    def _retry(self, mapper, retry, pair_obj) -> None:
-        """RC retry for direction-rejected reads (tiny batch)."""
+    def _retry(self, mapper, retry, originals_fn) -> None:
+        """RC retry for direction-rejected reads (tiny batch).
+        retry: [(key, lane, rc_read)]; originals_fn(key) -> original reads."""
         Lr2 = _round_up(max(KMER, max(len(r.seq) for _, _, r in retry)), 32)
         rrows, rlens = _tokenize_bytes(
             [r.seq.encode("latin-1") for _, _, r in retry], Lr2
         )
         sv, ss, se, sc, sp = self._run_map(rrows, rlens)
-        for k, (i, lane, rc_read) in enumerate(retry):
+        for k, (key, lane, rc_read) in enumerate(retry):
             if not (sv[k, 0] and sv[k, 1]):
                 continue
             mapping = [
@@ -489,7 +502,7 @@ class TpuEngine:
             if not mapper.indexer.in_required_direction(mapping):
                 continue
             m = mapper.make_match(rc_read, mapping)
-            m.original_reads = list(pair_obj(i))
+            m.original_reads = originals_fn(key)
             if lane != 0:
                 # merged-lane RC matches keep reversed=False
                 # (faithful: pescanner.rs:465-468 vs :487-490)
@@ -498,6 +511,11 @@ class TpuEngine:
 
     def _scan_single_matrices(self, mapper, rows, lens, read_at: Callable) -> None:
         rows = np.ascontiguousarray(rows)
+        L = _round_up(max(32, rows.shape[1]), 32)
+        if rows.shape[1] != L:
+            out = np.zeros((rows.shape[0], L), rows.dtype)
+            out[:, : rows.shape[1]] = rows
+            rows = out
         lens = np.asarray(lens, np.int32)
         meta_lane = np.ones(len(lens), np.int8)
         self._assemble(
@@ -592,26 +610,9 @@ class TpuEngine:
             else:
                 retry.append((j, read_obj(j).reverse_complement()))
 
-        if not retry:
-            return
-        Lr2 = _round_up(max(KMER, max(len(r.seq) for _, r in retry)), 32)
-        rrows, rlens = _tokenize_bytes([r.seq.encode("latin-1") for _, r in retry], Lr2)
-        sv, ss, se, sc, sp = self._run_map(rrows, rlens)
-        for k, (j, rc_read) in enumerate(retry):
-            if not (sv[k, 0] and sv[k, 1]):
-                continue
-            mapping = [
-                SeqMatch(
-                    int(ss[k, t]), int(se[k, t]), GenePos(int(sc[k, t]), int(sp[k, t]))
-                )
-                for t in range(2)
-            ]
-            if not mapper.indexer.in_required_direction(mapping):
-                continue
-            m = mapper.make_match(rc_read, mapping)
-            m.original_reads = originals(j)
-            if int(meta_lane[j]) != 0:
-                # merged-lane RC matches keep reversed=False
-                # (faithful: pescanner.rs:465-468 vs :487-490)
-                m.reversed = True
-            mapper.add_match(m)
+        if retry:
+            self._retry(
+                mapper,
+                [(j, int(meta_lane[j]), rc) for j, rc in retry],
+                lambda j: originals(j),
+            )

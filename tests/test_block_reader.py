@@ -111,3 +111,71 @@ def test_streamed_blocks_equal_whole_file(tmp_path):
     assert strip((tmp_path / "a.json").read_text()) == strip(
         (tmp_path / "b.json").read_text()
     )
+
+
+def test_mismatched_widths_and_short_reads(tmp_path):
+    """Regression: R1/R2 blocks with different max widths (trimmed mates)
+    must scan identically to the host oracle; all-short batches must not
+    crash the device kernels."""
+    from genefuserust_tpu.io.fastq_block import read_pair_block
+
+    panel = make_panel()
+    pairs = plant_fusion_pairs(panel, n_support=5, n_background=20)
+    # trim every R2 to 120bp (R1 stays 150) -> different block widths
+    from genefuserust_tpu.core.read import SequenceRead, SequenceReadPair
+
+    trimmed = [
+        SequenceReadPair(
+            p.left,
+            SequenceRead(p.right.name, p.right.seq[:120], "+", p.right.quality[:120]),
+        )
+        for p in pairs
+    ]
+    r1, r2 = write_fastq_files(trimmed, str(tmp_path))
+    _, csv_path = write_panel_files(panel, str(tmp_path))
+    blk = read_pair_block(r1, r2)
+    assert blk.left.seq.shape[1] != blk.right.seq.shape[1]
+
+    def run(engine, name):
+        sc = Scanner(csv_path, panel.contigs, "", str(tmp_path / name), Settings(),
+                     engine=engine, command="w")
+        return sc.scan_pair_block(read_pair_block(r1, r2)), (tmp_path / name).read_text()
+
+    mh, jh = run(HostEngine(), "h.json")
+    mt, jt = run(TpuEngine(Settings(), batch_size=16), "t.json")
+    strip = lambda s: "\n".join(
+        l for l in s.splitlines() if not l.startswith('\t"time"')
+    )
+    assert strip(jh) == strip(jt)
+    assert len(mh.fusion_results) >= 1  # fusion still detected on trimmed mates
+
+    # all-short reads (<30bp): no crash, zero matches, both engines agree
+    shorts = [
+        SequenceReadPair(
+            SequenceRead(f"@s{k}", "ACGTACGTACGTACGTACGTAC", "+", "I" * 22),
+            SequenceRead(f"@s{k}", "GTACGTACGTACGTACGTACGT", "+", "I" * 22),
+        )
+        for k in range(5)
+    ]
+    r1s, r2s = write_fastq_files(shorts, str(tmp_path))
+    mh2, _ = (
+        Scanner(csv_path, panel.contigs, "", "", Settings(), engine=HostEngine(), command="x").scan_pair_block(read_pair_block(r1s, r2s)),
+        None,
+    )
+    mt2 = Scanner(
+        csv_path, panel.contigs, "", "", Settings(),
+        engine=TpuEngine(Settings(), batch_size=8), command="x",
+    ).scan_pair_block(read_pair_block(r1s, r2s))
+    assert mh2.fusion_results == [] and mt2.fusion_results == []
+
+
+def test_strand_line_preserved(tmp_path):
+    p = tmp_path / "s.fq"
+    p.write_text("@a desc\nACGTACGTACGTACGTACGT\n+a extra text\nIIIIIIIIIIIIIIIIIIII\n")
+    from genefuserust_tpu.io.fastq_block import read_fastq_block
+
+    blk = read_fastq_block(str(p))
+    r = blk.read_obj(0)
+    assert r.strand == "+a extra text"
+    scalar = FastqReader(str(p)).read()
+    assert scalar.strand == r.strand
