@@ -1,5 +1,8 @@
 """Timed Pallas row-gather: can DMA-per-row beat XLA's ~17ns/row gather?
 
+NOTE: Pallas output block shapes must be tile-aligned ((8,128) for int32)
+or equal to the array dims; remote compiles of Pallas kernels take ~10min.
+
 Kernel: grid over query tiles; each program DMAs QN rows of (1, 128) int32
 from an HBM table into VMEM (double-buffered ring of in-flight copies),
 sums them. Compares against the XLA jnp.take baseline at identical shapes.
@@ -68,7 +71,7 @@ def main():
                 return acc
 
             acc = jax.lax.fori_loop(0, TILE, step, jnp.int32(0))
-            o_ref[0, 0] = acc
+            o_ref[0, :] = jnp.broadcast_to(acc, (128,))
 
         pl.run_scoped(
             body,
@@ -82,7 +85,7 @@ def main():
     def pallas_gather(idx, tbl):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((grid, 128), jnp.int32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
                 grid=(grid,),
@@ -90,7 +93,7 @@ def main():
                     pl.BlockSpec((TILE,), lambda g: (g,), memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.ANY),
                 ],
-                out_specs=pl.BlockSpec((1, 1), lambda g: (g, 0)),
+                out_specs=pl.BlockSpec((1, 128), lambda g: (g, 0)),
             ),
         )(idx, tbl)
 
