@@ -142,7 +142,9 @@ class Indexer:
         # grouped-array index representation (vectorized build):
         #   entries sorted by kmer (stable, preserving insertion order):
         #   uniq_keys (sorted uint32), group_start/group_count into se
-        self.se: np.ndarray = np.zeros((0, 3), np.int64)  # (kmer, contig, pos)
+        self.se_kmer: np.ndarray = np.zeros(0, np.uint32)
+        self.se_contig: np.ndarray = np.zeros(0, np.int32)
+        self.se_pos: np.ndarray = np.zeros(0, np.int32)
         self.uniq_keys: np.ndarray = np.zeros(0, np.uint32)
         self.group_start: np.ndarray = np.zeros(0, np.int64)
         self.group_count: np.ndarray = np.zeros(0, np.int64)
@@ -177,40 +179,44 @@ class Indexer:
                 # EXCLUDE the final k-mer (reference off-by-one, indexer.rs:188)
                 nat = native.rolling_entries(codes, ctg, start, exclude_last=True)
                 if nat is not None:
-                    k, c, p = nat
-                    ent = np.empty((len(k), 3), np.int64)
-                    ent[:, 0] = k
-                    ent[:, 1] = c
-                    ent[:, 2] = p
+                    all_entries.append(nat)
                 else:
                     km, valid = rolling_kmers(codes)
                     if len(km) > 0:
                         km, valid = km[:-1], valid[:-1]
                     idx = np.nonzero(valid)[0]
-                    ent = np.empty((len(idx), 3), np.int64)
-                    ent[:, 0] = km[idx].astype(np.int64)
-                    ent[:, 1] = ctg
-                    ent[:, 2] = idx + start
-                all_entries.append(ent)
+                    all_entries.append(
+                        (
+                            km[idx],
+                            np.full(len(idx), ctg, np.int32),
+                            (idx + start).astype(np.int32),
+                        )
+                    )
             self.fusion_seq.append(s)
 
         if all_entries:
-            entries = np.concatenate(all_entries, axis=0)
+            kmers_all = np.concatenate([e[0] for e in all_entries])
+            ctg_all = np.concatenate([e[1] for e in all_entries])
+            pos_all = np.concatenate([e[2] for e in all_entries])
         else:
-            entries = np.zeros((0, 3), np.int64)
+            kmers_all = np.zeros(0, np.uint32)
+            ctg_all = np.zeros(0, np.int32)
+            pos_all = np.zeros(0, np.int32)
 
         # group by kmer preserving insertion order (stable sort)
-        order = native.stable_argsort_kmers(entries[:, 0].astype(np.uint32))
+        order = native.stable_argsort_kmers(kmers_all)
         if order is None:
-            order = np.argsort(entries[:, 0], kind="stable")
-        self.se = entries[order]
-        sk = self.se[:, 0]
+            order = np.argsort(kmers_all, kind="stable")
+        self.se_kmer = kmers_all[order]
+        self.se_contig = ctg_all[order]
+        self.se_pos = pos_all[order]
+        sk = self.se_kmer
         if len(sk):
-            # se is already kmer-sorted: group boundaries by adjacency
+            # entries are kmer-sorted: group boundaries by adjacency
             first = np.concatenate([[True], sk[1:] != sk[:-1]])
             starts = np.nonzero(first)[0]
             counts = np.diff(np.append(starts, len(sk)))
-            self.uniq_keys = sk[starts].astype(np.uint32)
+            self.uniq_keys = sk[starts]
         else:
             starts = np.zeros(0, np.int64)
             counts = np.zeros(0, np.int64)
@@ -234,10 +240,10 @@ class Indexer:
             self.group_count.tolist(),
         ):
             if c == 1:
-                kmer_gp[k] = (int(self.se[s0, 1]), int(self.se[s0, 2]))
+                kmer_gp[k] = (int(self.se_contig[s0]), int(self.se_pos[s0]))
             elif c <= thr:
                 kmer_dupe[k] = [
-                    (int(self.se[j, 1]), int(self.se[j, 2]))
+                    (int(self.se_contig[j]), int(self.se_pos[j]))
                     for j in range(s0, s0 + c)
                 ]
             else:
@@ -271,7 +277,9 @@ class Indexer:
         if c > self.settings.skip_key_dup_threshold:
             return []
         s0 = int(self.group_start[j])
-        return [(int(self.se[i, 1]), int(self.se[i, 2])) for i in range(s0, s0 + c)]
+        return [
+            (int(self.se_contig[i]), int(self.se_pos[i])) for i in range(s0, s0 + c)
+        ]
 
     def map_read(self, seq: str) -> List[SeqMatch]:
         st = self.settings

@@ -91,7 +91,8 @@ def pack_index(indexer) -> PackedIndex:
     counts = indexer.group_count
     starts = indexer.group_start
     uk = indexer.uniq_keys
-    se = indexer.se
+    se_c = indexer.se_contig
+    se_p = indexer.se_pos
 
     is_reg = counts == 1
     is_dup = (counts > 1) & (counts <= thr)
@@ -105,14 +106,14 @@ def pack_index(indexer) -> PackedIndex:
     keys = np.concatenate([uk[reg_i], uk[dup_i], uk[high_i]]).astype(np.uint32)
     contigs = np.concatenate(
         [
-            se[starts[reg_i], 1].astype(np.int32),
+            se_c[starts[reg_i]],
             np.full(n_dup, DUPE, np.int32),
             np.full(n_high, HIGH, np.int32),
         ]
     )
     poss = np.concatenate(
         [
-            se[starts[reg_i], 2].astype(np.int32),
+            se_p[starts[reg_i]],
             np.arange(n_dup, dtype=np.int32),
             np.zeros(n_high, np.int32),
         ]
@@ -125,9 +126,9 @@ def pack_index(indexer) -> PackedIndex:
         d_off = np.arange(max_dupe)[None, :]
         src = starts[dup_i][:, None] + d_off  # (n_dup, D)
         valid = d_off < counts[dup_i][:, None]
-        src_c = np.clip(src, 0, len(se) - 1)
-        dupes[:, :, 0] = np.where(valid, se[src_c, 1], EMPTY).astype(np.int32)
-        dupes[:, :, 1] = np.where(valid, se[src_c, 2], 0).astype(np.int32)
+        src_c = np.clip(src, 0, len(se_c) - 1)
+        dupes[:, :, 0] = np.where(valid, se_c[src_c], EMPTY).astype(np.int32)
+        dupes[:, :, 1] = np.where(valid, se_p[src_c], 0).astype(np.int32)
 
     from .. import native
 

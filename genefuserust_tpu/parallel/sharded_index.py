@@ -58,7 +58,6 @@ def pack_index_sharded(indexer, n_shards: int):
     thr = indexer.settings.skip_key_dup_threshold
     counts = indexer.group_count
     starts = indexer.group_start
-    se = indexer.se
     owner = shard_contigs(indexer, n_shards)
 
     # expand kept (non-high) groups to entry rows with their group kmer
@@ -67,9 +66,9 @@ def pack_index_sharded(indexer, n_shards: int):
     grp_of_row = np.repeat(np.arange(len(counts)), counts)
     row_keep = keep_groups[grp_of_row]
     rows = np.nonzero(row_keep)[0]
-    r_kmer = se[rows, 0].astype(np.uint32)
-    r_contig = se[rows, 1].astype(np.int32)
-    r_pos = se[rows, 2].astype(np.int32)
+    r_kmer = indexer.se_kmer[rows]
+    r_contig = indexer.se_contig[rows]
+    r_pos = indexer.se_pos[rows]
     r_shard = owner[r_contig]
 
     packs: List[PackedIndex] = []

@@ -39,7 +39,9 @@ def load(cache_dir: str, ref_file: str, fusion_file: str, indexer) -> bool:
         if not os.path.exists(path):
             return False
         z = np.load(path, allow_pickle=True)
-        indexer.se = z["se"]
+        indexer.se_kmer = z["se_kmer"]
+        indexer.se_contig = z["se_contig"]
+        indexer.se_pos = z["se_pos"]
         indexer.uniq_keys = z["uniq_keys"]
         indexer.group_start = z["group_start"]
         indexer.group_count = z["group_count"]
@@ -62,7 +64,9 @@ def save(cache_dir: str, ref_file: str, fusion_file: str, indexer) -> None:
         )
         np.savez(
             path,
-            se=indexer.se,
+            se_kmer=indexer.se_kmer,
+            se_contig=indexer.se_contig,
+            se_pos=indexer.se_pos,
             uniq_keys=indexer.uniq_keys,
             group_start=indexer.group_start,
             group_count=indexer.group_count,

@@ -71,7 +71,7 @@ def main():
                 return acc
 
             acc = jax.lax.fori_loop(0, TILE, step, jnp.int32(0))
-            o_ref[0, :] = jnp.broadcast_to(acc, (128,))
+            o_ref[pl.program_id(0), :] = jnp.broadcast_to(acc, (128,))
 
         pl.run_scoped(
             body,
@@ -93,7 +93,7 @@ def main():
                     pl.BlockSpec((TILE,), lambda g: (g,), memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.ANY),
                 ],
-                out_specs=pl.BlockSpec((1, 128), lambda g: (g, 0)),
+                out_specs=pl.BlockSpec((grid, 128), lambda g: (0, 0)),
             ),
         )(idx, tbl)
 
