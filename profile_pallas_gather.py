@@ -28,7 +28,7 @@ def main():
     nb = 1 << 22
     W = 128  # row width int32 (one full lane row)
     NQ = 1 << 17  # queries per call
-    TILE = 512  # queries per grid program
+    TILE = 1024  # queries per grid program (matches XLA layout T(1024))
     NFLIGHT = 8
 
     tbl = jax.device_put(
