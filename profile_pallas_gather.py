@@ -1,7 +1,12 @@
 """Timed Pallas row-gather: can DMA-per-row beat XLA's ~17ns/row gather?
 
-NOTE: Pallas output block shapes must be tile-aligned ((8,128) for int32)
-or equal to the array dims; remote compiles of Pallas kernels take ~10min.
+ROUND-1 STATUS: compiles after two block-shape fixes (out block must be
+tile-aligned or whole-array; SMEM query block must match XLA layout T(1024)
+=> TILE=1024), but the in-flight DMA ring then crashed the remote TPU
+backend at RUNTIME ("TPU backend error (Internal)") and the device took
+~6 minutes to auto-recover. The ring's wait/start pairing (shape-only
+`.wait()` descriptor) is the prime suspect. DO NOT run casually — wedges
+the shared device; develop this in a dedicated session (round 2).
 
 Kernel: grid over query tiles; each program DMAs QN rows of (1, 128) int32
 from an HBM table into VMEM (double-buffered ring of in-flight copies),
