@@ -288,9 +288,10 @@ def pass1_rows_merged(
     major_req: int = 40, minor_req: int = 20,
 ):
     """Vote pass over compacted merged-lane rows. -> (PB, 5) int32
-    [ok, h1, l1, h2, l2]."""
+    [ok, h1, l1, h2, l2]. Merged length is at most L2 - MIN_OVERLAP, so the
+    trailing columns can never hold valid k-mers — trimmed."""
     map4 = jnp.asarray(MAP_FROM_SEQ4)
-    rows = jnp.take(m_codes, idx, axis=0)
+    rows = jnp.take(m_codes, idx, axis=0)[:, : L2 - MIN_OVERLAP]
     codes = jnp.take(map4, rows.astype(jnp.int32), axis=0)
     ok, h1, l1, h2, l2 = map_read_pass1(
         codes, lens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
@@ -352,8 +353,9 @@ def fused_pass2_combined(
     lens = work[:, 2]
     gps = work[:, 3:7]
     map4 = jnp.asarray(MAP_FROM_SEQ4)
-    L2 = m_codes.shape[1]
-    mrows = jnp.take(m_codes, idx, axis=0)
+    # merged length <= 2L - MIN_OVERLAP: trim the working width
+    L2 = m_codes.shape[1] - MIN_OVERLAP
+    mrows = jnp.take(m_codes, idx, axis=0)[:, :L2]
     r1rows = unpack_seq4_jnp(jnp.take(s1p, idx, axis=0), L)
     r2rows = unpack_seq4_jnp(jnp.take(s2p, idx, axis=0), L)
     pad = jnp.full((idx.shape[0], L2 - L), 15, jnp.uint8)
