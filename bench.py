@@ -88,11 +88,18 @@ def get_mapper(panel_mbp: float):
 def get_packed(mapper, panel_mbp: float):
     from genefuserust_tpu.ops.hashtable import PackedIndex, pack_index
 
-    path = os.path.join(CACHE, f"packed_{panel_mbp:g}.npz")
+    path = os.path.join(CACHE, f"packed_{panel_mbp:g}_v2.npz")
     if os.path.exists(path):
         z = np.load(path)
         return PackedIndex(
-            z["table"], z["dupes"], int(z["nb"]), int(z["shift"]), int(z["maxd"])
+            None,
+            z["dupes"],
+            int(z["nb"]),
+            int(z["shift"]),
+            int(z["maxd"]),
+            keys_tbl=z["keys"],
+            vals_tbl=z["vals"],
+            empty_key=int(z["ek"]),
         )
     t0 = time.time()
     packed = pack_index(mapper.indexer)
@@ -102,11 +109,13 @@ def get_packed(mapper, panel_mbp: float):
     )
     np.savez(
         path,
-        table=packed.table,
+        keys=packed.keys_tbl,
+        vals=packed.vals_tbl,
         dupes=packed.dupes,
         nb=packed.n_buckets,
         shift=packed.shift,
         maxd=packed.max_dupe,
+        ek=packed.empty_key,
     )
     return packed
 
