@@ -88,18 +88,18 @@ def get_mapper(panel_mbp: float):
 def get_packed(mapper, panel_mbp: float):
     from genefuserust_tpu.ops.hashtable import PackedIndex, pack_index
 
-    path = os.path.join(CACHE, f"packed_{panel_mbp:g}_v2.npz")
-    if os.path.exists(path):
-        z = np.load(path)
+    base = os.path.join(CACHE, f"packed_{panel_mbp:g}_v3")
+    if os.path.exists(base + "_meta.npy"):
+        meta = np.load(base + "_meta.npy")
         return PackedIndex(
             None,
-            z["dupes"],
-            int(z["nb"]),
-            int(z["shift"]),
-            int(z["maxd"]),
-            keys_tbl=z["keys"],
-            vals_tbl=z["vals"],
-            empty_key=int(z["ek"]),
+            np.load(base + "_dupes.npy", mmap_mode="r"),
+            int(meta[0]),
+            int(meta[1]),
+            int(meta[2]),
+            keys_tbl=np.load(base + "_keys.npy", mmap_mode="r"),
+            vals_tbl=np.load(base + "_vals.npy", mmap_mode="r"),
+            empty_key=int(meta[3]),
         )
     t0 = time.time()
     packed = pack_index(mapper.indexer)
@@ -107,15 +107,15 @@ def get_packed(mapper, panel_mbp: float):
         f"# pack: {time.time() - t0:.1f}s, {packed.nbytes / 1e6:.0f} MB",
         file=sys.stderr,
     )
-    np.savez(
-        path,
-        keys=packed.keys_tbl,
-        vals=packed.vals_tbl,
-        dupes=packed.dupes,
-        nb=packed.n_buckets,
-        shift=packed.shift,
-        maxd=packed.max_dupe,
-        ek=packed.empty_key,
+    np.save(base + "_keys.npy", packed.keys_tbl)
+    np.save(base + "_vals.npy", packed.vals_tbl)
+    np.save(base + "_dupes.npy", packed.dupes)
+    np.save(
+        base + "_meta.npy",
+        np.array(
+            [packed.n_buckets, packed.shift, packed.max_dupe, packed.empty_key],
+            np.int64,
+        ),
     )
     return packed
 

@@ -29,26 +29,28 @@ def _key(ref_file: str, fusion_file: str, dup_threshold: int) -> str:
     return h.hexdigest()[:24]
 
 
+_ARRAYS = (
+    "se_kmer", "se_contig", "se_pos", "uniq_keys", "group_start", "group_count"
+)
+
+
 def load(cache_dir: str, ref_file: str, fusion_file: str, indexer) -> bool:
-    """Populate `indexer` from cache; True on hit."""
+    """Populate `indexer` from cache; True on hit. Numeric arrays are
+    memory-mapped (lazy — the device path barely touches them)."""
     try:
-        path = os.path.join(
+        base = os.path.join(
             cache_dir,
-            f"index_{_key(ref_file, fusion_file, indexer.settings.skip_key_dup_threshold)}.npz",
+            f"index_{_key(ref_file, fusion_file, indexer.settings.skip_key_dup_threshold)}",
         )
-        if not os.path.exists(path):
+        if not os.path.exists(base + "_meta.npz"):
             return False
-        z = np.load(path, allow_pickle=True)
-        indexer.se_kmer = z["se_kmer"]
-        indexer.se_contig = z["se_contig"]
-        indexer.se_pos = z["se_pos"]
-        indexer.uniq_keys = z["uniq_keys"]
-        indexer.group_start = z["group_start"]
-        indexer.group_count = z["group_count"]
+        for name in _ARRAYS:
+            setattr(indexer, name, np.load(f"{base}_{name}.npy", mmap_mode="r"))
+        z = np.load(base + "_meta.npz", allow_pickle=True)
         indexer.fusion_seq = list(z["fusion_seq"])
         indexer.unique_pos = int(z["unique_pos"])
         indexer.dupe_pos = int(z["dupe_pos"])
-        log.info("index cache hit: %s", path)
+        log.info("index cache hit: %s", base)
         return True
     except Exception as e:
         log.warning("index cache load failed (%s); rebuilding", e)
@@ -58,22 +60,18 @@ def load(cache_dir: str, ref_file: str, fusion_file: str, indexer) -> bool:
 def save(cache_dir: str, ref_file: str, fusion_file: str, indexer) -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        path = os.path.join(
+        base = os.path.join(
             cache_dir,
-            f"index_{_key(ref_file, fusion_file, indexer.settings.skip_key_dup_threshold)}.npz",
+            f"index_{_key(ref_file, fusion_file, indexer.settings.skip_key_dup_threshold)}",
         )
+        for name in _ARRAYS:
+            np.save(f"{base}_{name}.npy", getattr(indexer, name))
         np.savez(
-            path,
-            se_kmer=indexer.se_kmer,
-            se_contig=indexer.se_contig,
-            se_pos=indexer.se_pos,
-            uniq_keys=indexer.uniq_keys,
-            group_start=indexer.group_start,
-            group_count=indexer.group_count,
+            base + "_meta.npz",
             fusion_seq=np.array(indexer.fusion_seq, dtype=object),
             unique_pos=indexer.unique_pos,
             dupe_pos=indexer.dupe_pos,
         )
-        log.info("index cached: %s", path)
+        log.info("index cached: %s", base)
     except Exception as e:  # cache failures must never fail the run
         log.warning("index cache save failed: %s", e)
