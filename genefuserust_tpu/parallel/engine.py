@@ -3,17 +3,18 @@
 Replaces the reference's producer/consumer thread pipeline
 (src/core/pescanner.rs:296-425) with a batched device pipeline:
 
-  host: FASTQ -> padded byte matrices (block reader, vectorized)
-  host: packed 4-bit-seq/2-bit-qual-class upload (ops/pack.py)
-  device: one fused call — unpack, RC, merge-on-codes, 3-lane vote pass
-          (ops/fused.py), single scalar summary fetched
-  device: one combined pass2 over the compacted survivors of all lanes
-  host: segment assembly -> direction check -> make_match + edit-distance
-        verification (rare rows) -> match bins
-  device: one tiny retry map_read batch for direction-rejected rows (the
-        only case the reference retries with the reverse complement —
-        pescanner.rs:455-513: misses with <2 segments set mapable=false
-        and are NOT retried)
+  host: FASTQ -> padded byte matrices (block reader) -> packed
+        4-bit-seq/2-bit-qual-class upload (ops/pack.py)
+  device stage 0: merge-on-codes (merged reads stay device-resident)
+  device stage 1: vote pass over COMPACTED lanes (merged pairs never pay
+        the R1/R2 lanes and vice versa)
+  device stage 2: one combined mask/segment pass over the vote survivors
+  host  stage 3: segment assembly -> direction check -> make_match +
+        edit-distance verification (rare rows) -> match bins; a tiny retry
+        batch for direction-rejected rows (the only case the reference
+        retries with the reverse complement — pescanner.rs:455-513)
+  Stages of successive batches are interleaved (4-deep) so every fetch
+  overlaps younger batches' device work.
 
 Semantics are identical to the scalar host oracle (cross-checked in
 tests/test_engine_equality.py); only the schedule differs.
