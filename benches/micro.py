@@ -2,8 +2,8 @@
 benches/my_benchmark.rs; these are the engine-level equivalents).
 
 Usage: python benches/micro.py [--device cpu|default]
-Prints a ms/op table for: merge, map_read, edit distance, hash lookup,
-host index build + pack.
+Prints a ms/op table for: fused merge+pass1, two-phase map passes, edit
+distance, and the host index build/pack.
 """
 
 import argparse
@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--device", default="default")
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--panel-mbp", type=float, default=0.5)
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -28,33 +29,49 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import build_panel, gen_pairs, get_packed
+    from bench import gen_block, get_mapper, get_packed
+    from genefuserust_tpu.config import Settings
     from genefuserust_tpu.core.sequence import BASE_CODE_LUT
     from genefuserust_tpu.ops.edit_distance import edit_distance_batch
-    from genefuserust_tpu.ops.hashtable import pack_index
-    from genefuserust_tpu.ops.map_read import map_read_batch
-    from genefuserust_tpu.ops.merge import merge_batch
+    from genefuserust_tpu.ops.fused import fused_merge_chunked, pass1_rows_packed
+    from genefuserust_tpu.ops.map_read import map_read_pass1
+    from genefuserust_tpu.ops.pack import SEQ4_LUT, pack_q2, pack_seq4, qual_class
 
     dev = jax.devices()[0]
     print(f"device: {dev}")
     B = args.batch
 
     t0 = time.time()
-    ix, _ = build_panel(0.5)
-    t_build = time.time() - t0
-    t0 = time.time()
-    packed = pack_index(ix)
-    t_pack = time.time() - t0
-    print(f"host index build (1Mbp eq): {t_build * 1e3:8.1f} ms")
-    print(f"host table pack:            {t_pack * 1e3:8.1f} ms")
+    mapper = get_mapper(args.panel_mbp)
+    packed = get_packed(mapper, args.panel_mbp)
+    print(f"host mapper+index+pack:      {(time.time() - t0) * 1e3:9.1f} ms")
 
-    table = jax.device_put(jnp.asarray(packed.table), dev)
+    keys = jax.device_put(jnp.asarray(packed.keys_tbl), dev)
+    vals = jax.device_put(jnp.asarray(packed.vals_tbl), dev)
     dupes = jax.device_put(jnp.asarray(packed.dupes), dev)
-    packed_np = packed
-
-    get_packed(0.5)  # ensure seqs cache exists for gen_pairs
-    b1, q1, b2, b2r, q2r, lens = gen_pairs(0.5, B, 150)
+    blk = gen_block(mapper, B, 150)
+    L = 160
+    b1 = np.zeros((B, L), np.uint8)
+    b1[:, :150] = blk.left.seq
+    b2 = np.zeros((B, L), np.uint8)
+    b2[:, :150] = blk.right.seq
+    q1 = np.zeros((B, L), np.uint8)
+    q1[:, :150] = blk.left.qual
+    q2 = np.zeros((B, L), np.uint8)
+    q2[:, :150] = blk.right.qual
+    lens = np.full(B, 150, np.int32)
+    buf = np.concatenate(
+        [
+            pack_seq4(SEQ4_LUT[b1]),
+            pack_q2(qual_class(q1)),
+            pack_seq4(SEQ4_LUT[b2]),
+            pack_q2(qual_class(q2)),
+        ],
+        axis=1,
+    )
+    lens2 = np.stack([lens, lens], axis=1).astype(np.int32)
     d = lambda x: jax.device_put(jnp.asarray(x), dev)
+    buf_d, lens2_d = d(buf), d(lens2)
 
     def timed(name, fn, *xs):
         out = fn(*xs)
@@ -64,29 +81,49 @@ def main():
             out = fn(*xs)
         jax.block_until_ready(out)
         dt = (time.time() - t0) / args.iters
-        print(f"{name:28s} {dt * 1e3:8.2f} ms  ({B / dt:,.0f}/s)")
+        print(f"{name:28s} {dt * 1e3:9.2f} ms  ({B / dt:,.0f}/s)")
+        return out
 
-    timed(
-        "merge_batch",
-        jax.jit(merge_batch),
-        d(b1), d(q1), d(lens), d(b2r), d(q2r), d(lens),
+    msum, m_codes = timed(
+        "fused_merge_chunked",
+        lambda b, l: fused_merge_chunked(b, l, L, min(2048, B)),
+        buf_d,
+        lens2_d,
     )
+
     codes = d(BASE_CODE_LUT[b1])
+    lens_d = d(lens)
     timed(
-        "map_read_batch",
-        jax.jit(
-            lambda c, l, t, dp: map_read_batch(
-                c, l, t, dp, packed_np.shift, packed_np.max_dupe
-            )
+        "map_read_pass1 (r lane)",
+        lambda c, l: map_read_pass1(
+            c, l, keys, vals, dupes, packed.shift, packed.max_dupe
         ),
-        codes, d(lens), table, dupes,
+        codes,
+        lens_d,
     )
+
+    work = np.zeros((B, 3), np.int32)
+    work[:, 0] = np.arange(B)
+    work[:, 1] = 1
+    work[:, 2] = 150
+    timed(
+        "pass1_rows_packed",
+        lambda b, w: pass1_rows_packed(
+            b, w, keys, vals, dupes, L=L, shift=packed.shift,
+            max_dupe=packed.max_dupe,
+        ),
+        buf_d,
+        d(work),
+    )
+
     pl = np.full(B, 75, np.int32)
     timed(
         "edit_distance_batch W=3",
-        jax.jit(lambda p, pl, t, tl: edit_distance_batch(p, pl, t, tl, 3)),
-        d((BASE_CODE_LUT[b1] % 5)[:, :96]), d(pl),
-        d((BASE_CODE_LUT[b2] % 5)[:, :96]), d(pl),
+        lambda p, pl_, t, tl: edit_distance_batch(p, pl_, t, tl, 3),
+        d((BASE_CODE_LUT[b1] % 5)[:, :96]),
+        d(pl),
+        d((BASE_CODE_LUT[b2] % 5)[:, :96]),
+        d(pl),
     )
 
 
