@@ -22,7 +22,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KMER
@@ -109,7 +109,7 @@ def build_sharded_scan(mesh: Mesh, shift: int, max_dupe: int,
             (batch,) * 5,
             (repl, repl),  # stats (psum -> replicated)
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     def wrapped(*args):

@@ -168,7 +168,7 @@ def build_sharded_map_read(mesh, shift: int, max_dupe: int, L: int,
 
     inputs: codes (B, L) uint8 REPLICATED, lengths (B,), per-shard stacked
     keys/vals/dupes SHARDED on axis 0. Output MapReadResult replicated."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     nsh = mesh.shape[axis]
@@ -245,7 +245,7 @@ def build_sharded_map_read(mesh, shift: int, max_dupe: int, L: int,
         mesh=mesh,
         in_specs=(repl, repl, sh, sh, sh),
         out_specs=(repl, repl, repl, repl, repl),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
 
