@@ -86,34 +86,42 @@ def get_mapper(panel_mbp: float):
 
 
 def get_packed(mapper, panel_mbp: float):
-    from genefuserust_tpu.ops.hashtable import PackedIndex, pack_index
+    """KV-layout device table (ops/hashtable.PackedIndexKV), mmap-cached."""
+    from genefuserust_tpu.ops.hashtable import PackedIndexKV, pack_index_kv
 
-    base = os.path.join(CACHE, f"packed_{panel_mbp:g}_v3")
+    base = os.path.join(CACHE, f"packed_{panel_mbp:g}_v4kv")
     if os.path.exists(base + "_meta.npy"):
         meta = np.load(base + "_meta.npy")
-        return PackedIndex(
-            None,
+        return PackedIndexKV(
+            np.load(base + "_kv.npy", mmap_mode="r"),
             np.load(base + "_dupes.npy", mmap_mode="r"),
             int(meta[0]),
             int(meta[1]),
             int(meta[2]),
-            keys_tbl=np.load(base + "_keys.npy", mmap_mode="r"),
-            vals_tbl=np.load(base + "_vals.npy", mmap_mode="r"),
-            empty_key=int(meta[3]),
+            int(meta[3]),
+            int(meta[4]),
+            int(meta[5]),
         )
     t0 = time.time()
-    packed = pack_index(mapper.indexer)
+    packed = pack_index_kv(mapper.indexer)
+    assert packed is not None, "bench panel must fit the KV payload budget"
     print(
         f"# pack: {time.time() - t0:.1f}s, {packed.nbytes / 1e6:.0f} MB",
         file=sys.stderr,
     )
-    np.save(base + "_keys.npy", packed.keys_tbl)
-    np.save(base + "_vals.npy", packed.vals_tbl)
+    np.save(base + "_kv.npy", packed.kv_tbl)
     np.save(base + "_dupes.npy", packed.dupes)
     np.save(
         base + "_meta.npy",
         np.array(
-            [packed.n_buckets, packed.shift, packed.max_dupe, packed.empty_key],
+            [
+                packed.n_buckets,
+                packed.shift,
+                packed.cbits,
+                packed.pos_bias,
+                packed.max_dupe,
+                packed.empty_key,
+            ],
             np.int64,
         ),
     )
@@ -228,10 +236,7 @@ def main():
     print(f"# mapper+index ready: {time.time() - t0:.1f}s", file=sys.stderr)
 
     engine = TpuEngine(Settings(), batch_size=args.batch)
-    engine._packed = packed
-    engine._keys = jax.device_put(jnp.asarray(packed.keys_tbl), dev)
-    engine._vals = jax.device_put(jnp.asarray(packed.vals_tbl), dev)
-    engine._dupes = jax.device_put(jnp.asarray(packed.dupes), dev)
+    engine.use_packed(packed)
     engine._prepared_for = mapper
 
     block = gen_block(mapper, args.pairs, args.read_len)

@@ -166,8 +166,13 @@ class Indexer:
         return None
 
     def make_index(self) -> None:
+        from ..utils.pbar import prepare_pbar
+
+        pbar = prepare_pbar(len(self.fusions))
+        pbar.set_message("making index...")
         all_entries: List[np.ndarray] = []  # columns: kmer, contig, pos
         for ctg, fusion in enumerate(self.fusions):
+            pbar.inc(1)
             gene = fusion.gene
             chrom = self.resolve_chr(gene.chr)
             if chrom is None:

@@ -137,6 +137,11 @@ def scan(config: RunConfig, command: str) -> None:
     )
     prev_level = logging.getLogger("genefuse").level
     logging.getLogger("genefuse").setLevel(logging.CRITICAL)
+    from .utils.pbar import prepare_pbar_force, set_multi_csv_mode
+
+    set_multi_csv_mode(True)
+    pb = prepare_pbar_force(len(csv_paths))
+    pb.set_message("Scanning fusions given in csv...")
     try:
         for i, csv in enumerate(csv_paths):
             scanner = Scanner(
@@ -155,7 +160,10 @@ def scan(config: RunConfig, command: str) -> None:
                 scanner.scan_pair_block(pairs)
             else:
                 scanner.scan_single_block(reads)
+            pb.inc(1)
     finally:
+        pb.finish_and_clear()
+        set_multi_csv_mode(False)
         logging.getLogger("genefuse").setLevel(prev_level)
 
 

@@ -45,10 +45,15 @@ def read_all(path: str, force_upper_case: bool = False) -> Dict[str, str]:
     first = data.find(b">")
     if first < 0:
         raise RuntimeError(f"Loaded file is empty: {path}")
+    from ..utils.pbar import prepare_pbar_force
+
+    pbar = prepare_pbar_force(0)
+    pbar.set_message("Reading references...")
     contigs: Dict[str, str] = {}
     for chunk in data[first + 1 :].split(b">"):
         if not chunk:
             continue
+        pbar.inc(1)
         # header: up to first space or newline
         cut_nl = chunk.find(b"\n")
         cut_sp = chunk.find(b" ")
@@ -60,4 +65,5 @@ def read_all(path: str, force_upper_case: bool = False) -> Dict[str, str]:
         if force_upper_case:
             seq = seq.translate(_UPPER_TABLE)
         contigs[header] = seq.decode("latin-1")
+    pbar.finish_and_clear()
     return dict(sorted(contigs.items()))

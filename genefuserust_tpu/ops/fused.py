@@ -119,7 +119,10 @@ def _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "shift", "max_dupe", "major_req", "minor_req"),
+    static_argnames=(
+        "L", "shift", "max_dupe", "major_req", "minor_req", "kv", "cbits",
+        "pos_bias",
+    ),
 )
 def fused_pass1(
     s1p: jnp.ndarray,  # (B, ceil(L/2)) packed 4-bit R1 codes
@@ -136,6 +139,9 @@ def fused_pass1(
     max_dupe: int,
     major_req: int = 40,
     minor_req: int = 20,
+    kv: bool = False,
+    cbits: int = 0,
+    pos_bias: int = 0,
 ) -> FusedPass1Result:
     B = s1p.shape[0]
     comp4 = jnp.asarray(COMP4)
@@ -155,15 +161,15 @@ def fused_pass1(
 
     ok_m, h1m, l1m, h2m, l2m = map_read_pass1(
         m_map, jnp.where(merged, m_len, 0), keys_tbl, vals_tbl, dupes,
-        shift, max_dupe, major_req, minor_req,
+        shift, max_dupe, major_req, minor_req, kv, cbits, pos_bias,
     )
     ok_1, h11, l11, h21, l21 = map_read_pass1(
         r1_map, jnp.where(merged, 0, l1), keys_tbl, vals_tbl, dupes,
-        shift, max_dupe, major_req, minor_req,
+        shift, max_dupe, major_req, minor_req, kv, cbits, pos_bias,
     )
     ok_2, h12, l12, h22, l22 = map_read_pass1(
         r2_map, jnp.where(merged, 0, l2), keys_tbl, vals_tbl, dupes,
-        shift, max_dupe, major_req, minor_req,
+        shift, max_dupe, major_req, minor_req, kv, cbits, pos_bias,
     )
     return FusedPass1Result(
         merged,
@@ -181,7 +187,10 @@ def fused_pass1(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "chunk", "shift", "max_dupe", "major_req", "minor_req"),
+    static_argnames=(
+        "L", "chunk", "shift", "max_dupe", "major_req", "minor_req", "kv",
+        "cbits", "pos_bias",
+    ),
 )
 def fused_pass1_chunked(
     buf: jnp.ndarray,  # (B, 2*ceil(L/2)+2*ceil(L/4)) single packed upload:
@@ -196,6 +205,9 @@ def fused_pass1_chunked(
     max_dupe: int,
     major_req: int = 40,
     minor_req: int = 20,
+    kv: bool = False,
+    cbits: int = 0,
+    pos_bias: int = 0,
 ):
     """Large-batch fused pass1: lax.map over `chunk`-row slices bounds the
     merge working set; ONE upload buffer in, ONE (B, 18) summary fetch out
@@ -216,7 +228,8 @@ def fused_pass1_chunked(
         a_l2 = a_lens2[:, 1]
         r = fused_pass1(
             a_s1p, a_q1p, a_l1, a_s2p, a_q2p, a_l2,
-            keys_tbl, vals_tbl, dupes, L, shift, max_dupe, major_req, minor_req,
+            keys_tbl, vals_tbl, dupes, L, shift, max_dupe, major_req,
+            minor_req, kv, cbits, pos_bias,
         )
         summary = jnp.concatenate(
             [
@@ -278,7 +291,10 @@ def fused_merge_chunked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L2", "shift", "max_dupe", "major_req", "minor_req"),
+    static_argnames=(
+        "L2", "shift", "max_dupe", "major_req", "minor_req", "kv", "cbits",
+        "pos_bias", "width",
+    ),
 )
 def pass1_rows_merged(
     m_codes: jnp.ndarray,  # (B, 2L) device-resident merged codes
@@ -286,29 +302,38 @@ def pass1_rows_merged(
     lens: jnp.ndarray,  # (PB,)
     keys_tbl, vals_tbl, dupes, L2: int, shift: int, max_dupe: int,
     major_req: int = 40, minor_req: int = 20,
+    kv: bool = False, cbits: int = 0, pos_bias: int = 0,
+    width: int = 0,
 ):
     """Vote pass over compacted merged-lane rows. -> (PB, 5) int32
     [ok, h1, l1, h2, l2]. Merged length is at most L2 - MIN_OVERLAP, so the
-    trailing columns can never hold valid k-mers — trimmed."""
+    trailing columns can never hold valid k-mers — trimmed. `width` trims
+    further to the batch's actual max merged length (length bucketing:
+    callers round it up so the number of compiled variants stays small)."""
     map4 = jnp.asarray(MAP_FROM_SEQ4)
-    rows = jnp.take(m_codes, idx, axis=0)[:, : L2 - MIN_OVERLAP]
+    w = L2 - MIN_OVERLAP if width <= 0 else min(width, L2 - MIN_OVERLAP)
+    rows = jnp.take(m_codes, idx, axis=0)[:, :w]
     codes = jnp.take(map4, rows.astype(jnp.int32), axis=0)
     ok, h1, l1, h2, l2 = map_read_pass1(
         codes, lens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
-        major_req, minor_req,
+        major_req, minor_req, kv, cbits, pos_bias,
     )
     return jnp.stack([ok.astype(jnp.int32), h1, l1, h2, l2], axis=1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "shift", "max_dupe", "major_req", "minor_req"),
+    static_argnames=(
+        "L", "shift", "max_dupe", "major_req", "minor_req", "kv", "cbits",
+        "pos_bias",
+    ),
 )
 def pass1_rows_packed(
     buf: jnp.ndarray,  # the pass1 upload buffer (R1/R2 packed codes)
     work: jnp.ndarray,  # (PB, 3) int32 [pair_idx, lane(1|2), len]
     keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
     major_req: int = 40, minor_req: int = 20,
+    kv: bool = False, cbits: int = 0, pos_bias: int = 0,
 ):
     """Vote pass over compacted R1/R2 lanes (unmerged pairs)."""
     w2 = (L + 1) // 2
@@ -324,13 +349,16 @@ def pass1_rows_packed(
     codes = jnp.take(map4, s.astype(jnp.int32), axis=0)
     ok, h1, l1, h2, l2 = map_read_pass1(
         codes, lens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
-        major_req, minor_req,
+        major_req, minor_req, kv, cbits, pos_bias,
     )
     return jnp.stack([ok.astype(jnp.int32), h1, l1, h2, l2], axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "shift", "max_dupe", "mismatch_thr")
+    jax.jit,
+    static_argnames=(
+        "L", "shift", "max_dupe", "mismatch_thr", "kv", "cbits", "pos_bias",
+    ),
 )
 def fused_pass2_combined(
     m_codes: jnp.ndarray,  # (B, 2L) 4-bit merged codes (device resident)
@@ -338,6 +366,7 @@ def fused_pass2_combined(
     work: jnp.ndarray,  # (PB, 7) int32 [idx, lane, len, gp0..gp3]
     keys_tbl, vals_tbl, dupes, L: int, shift: int, max_dupe: int,
     mismatch_thr: int = 10,
+    kv: bool = False, cbits: int = 0, pos_bias: int = 0,
 ):
     """One pass2 call for all three lane groups; r-lane rows are unpacked
     and right-padded into the merged width (2L). `work` is the single
@@ -370,6 +399,7 @@ def fused_pass2_combined(
     res = map_read_pass2(
         codes, lens, gps[:, 0], gps[:, 1], gps[:, 2], gps[:, 3],
         keys_tbl, vals_tbl, dupes, shift, max_dupe, mismatch_thr,
+        kv, cbits, pos_bias,
     )
     # single fetchable output (PB, 10): [0:2]=valid [2:4]=start [4:6]=end
     # [6:8]=contig [8:10]=pos

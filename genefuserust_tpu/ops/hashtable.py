@@ -77,6 +77,141 @@ class PackedIndex:
         return self.keys_tbl.nbytes + self.vals_tbl.nbytes + self.dupes.nbytes
 
 
+KV_SLOTS = 4  # slots per bucket in the combined key+value row layout
+
+
+@dataclasses.dataclass
+class PackedIndexKV:
+    """Combined key+value table: one 8xint32 row per bucket holds 4 slots
+    of [key | packed payload], so a lookup is TWO row gathers total (both
+    candidate buckets) instead of the split layout's three (2 key probes +
+    value fetch). Payload encoding (uint32):
+
+        tag  = payload >> pbits      (cbits wide)
+        val  = payload & (2^pbits-1)
+
+        tag 0        : empty slot / invalid
+        tag 1        : HIGH dupe (skipped by both passes)
+        tag 2        : dupe — val = row index into `dupes`
+        tag c+3      : regular — contig c, position = val + pos_bias
+
+    `dupes` rows are 8 packed regular-coded payloads (max dupe level is 5
+    per the reference's skip_key_dup_threshold). Falls back to the split
+    PackedIndex when a panel's geometry exceeds the payload bit budget
+    (see pack_index_kv)."""
+
+    kv_tbl: np.ndarray  # (nb, 8) int32: [k0..k3, e0..e3]
+    dupes: np.ndarray  # (nd, 8) int32 packed payloads
+    n_buckets: int
+    shift: int
+    cbits: int
+    pos_bias: int
+    max_dupe: int
+    empty_key: int
+
+    @property
+    def nbytes(self) -> int:
+        return self.kv_tbl.nbytes + self.dupes.nbytes
+
+
+def _encode_payload(contigs, poss, pbits: int, pos_bias: int) -> np.ndarray:
+    """(contig, pos) int32 arrays -> packed uint32 payload (as int32 bit
+    pattern). contig sentinels: EMPTY->tag 0, HIGH->1, DUPE->2 (val=pos=
+    dupe row), else tag contig+3 (val=pos-pos_bias)."""
+    tag = np.where(
+        contigs == EMPTY,
+        0,
+        np.where(contigs == HIGH, 1, np.where(contigs == DUPE, 2, contigs + 3)),
+    ).astype(np.uint32)
+    val = np.where(
+        contigs >= 0, poss - pos_bias, np.where(contigs == DUPE, poss, 0)
+    ).astype(np.uint32) & np.uint32((1 << pbits) - 1)
+    return ((tag << np.uint32(pbits)) | val).astype(np.uint32).view(np.int32)
+
+
+def pack_index_kv(indexer):
+    """Build the combined key+value device table, or return None when the
+    panel exceeds the packed-payload bit budget (then use pack_index)."""
+    keys, contigs, poss, dupes, max_dupe = _entries_from_indexer(indexer)
+    n_contigs = int(contigs.max()) + 1 if len(contigs) else 0
+    cbits = max(4, int(n_contigs + 3).bit_length())
+    pbits = 32 - cbits
+    n_dup = dupes.shape[0]
+    reg = contigs >= 0
+    all_pos = [poss[reg]]
+    dvalid = dupes[:, :, 0] != EMPTY
+    if dvalid.any():
+        all_pos.append(dupes[:, :, 1][dvalid])
+    pos_cat = np.concatenate(all_pos) if len(all_pos[0]) or len(all_pos) > 1 else np.zeros(1, np.int32)
+    pos_bias = int(pos_cat.min()) if pos_cat.size else 0
+    span = int(pos_cat.max()) - pos_bias if pos_cat.size else 0
+    if span >= (1 << pbits) or n_dup >= (1 << pbits) or max_dupe > 8:
+        return None
+
+    from .. import native
+
+    nb = 16
+    while nb * KV_SLOTS * 7 < max(len(keys), 1) * 10:  # load <= ~0.7
+        nb *= 2
+    while True:
+        shift = 32 - int(round(np.log2(nb)))
+        table = native.pack_table(keys, contigs, poss, nb, shift, KV_SLOTS, EMPTY)
+        if table is None:
+            placed = _place_2choice(keys, nb, shift, KV_SLOTS)
+            if placed is not None:
+                table = np.zeros((nb, KV_SLOTS, 3), np.int32)
+                table[:, :, 1] = EMPTY
+                pb, ps = placed
+                table[pb, ps, 0] = keys.astype(np.int32)
+                table[pb, ps, 1] = contigs
+                table[pb, ps, 2] = poss
+        if table is not None:
+            break
+        nb *= 2
+
+    empty = table[:, :, 1] == EMPTY
+    tkeys = table[:, :, 0].copy()
+    sentinel = _absent_key(tkeys[~empty])
+    tkeys[empty] = np.int32(sentinel - (1 << 32) if sentinel >= 1 << 31 else sentinel)
+    payload = _encode_payload(
+        table[:, :, 1].ravel(), table[:, :, 2].ravel(), pbits, pos_bias
+    ).reshape(nb, KV_SLOTS)
+    kv_tbl = np.concatenate([tkeys, payload], axis=1).astype(np.int32)
+
+    dupes_packed = np.zeros((max(1, n_dup), 8), np.int32)
+    if n_dup:
+        D = dupes.shape[1]
+        dupes_packed[:, :D] = _encode_payload(
+            dupes[:, :, 0].ravel(), dupes[:, :, 1].ravel(), pbits, pos_bias
+        ).reshape(n_dup, D)
+    return PackedIndexKV(
+        kv_tbl, dupes_packed, nb, shift, cbits, pos_bias, max_dupe, sentinel
+    )
+
+
+def lookup_np_kv(packed: PackedIndexKV, kmers: np.ndarray):
+    """Numpy KV lookup (test oracle for the device path): (contig, pos)
+    with the same conventions as lookup_np."""
+    pbits = 32 - packed.cbits
+    ki = kmers.astype(np.uint32).astype(np.int32)
+    pay = np.zeros(kmers.shape, np.uint32)
+    for hf in (h1_np, h2_np):
+        rows = packed.kv_tbl[hf(kmers, packed.shift)]  # (..., 8)
+        match = rows[..., :KV_SLOTS] == ki[..., None]
+        pay |= np.where(
+            match, rows[..., KV_SLOTS:].astype(np.uint32), np.uint32(0)
+        ).sum(-1, dtype=np.uint32)
+    tag = (pay >> np.uint32(pbits)).astype(np.int32)
+    val = (pay & np.uint32((1 << pbits) - 1)).astype(np.int64)
+    out_c = np.where(
+        tag == 0, EMPTY, np.where(tag == 1, HIGH, np.where(tag == 2, DUPE, tag - 3))
+    ).astype(np.int32)
+    out_p = np.where(
+        tag >= 3, val + packed.pos_bias, np.where(tag == 2, val, 0)
+    ).astype(np.int32)
+    return out_c, out_p
+
+
 def _absent_key(present: np.ndarray) -> int:
     """Smallest uint32 not present in `present` (as u32 values)."""
     u = np.unique(present.astype(np.int64) & 0xFFFFFFFF)
@@ -84,9 +219,11 @@ def _absent_key(present: np.ndarray) -> int:
     return int(gaps[0]) if len(gaps) else len(u)
 
 
-def pack_index(indexer) -> PackedIndex:
-    """Build the device table from a host core.indexer.Indexer (fully
-    vectorized over the indexer's grouped-array representation)."""
+def _entries_from_indexer(indexer):
+    """Indexer grouped arrays -> (keys u32, contigs i32, poss i32,
+    dupes (nd, D, 2) i32, max_dupe). One entry per unique k-mer; dupe
+    entries point at their dupe-table row; high dupes carry the HIGH
+    sentinel (indexer.rs:179-241 semantics)."""
     thr = indexer.settings.skip_key_dup_threshold
     counts = indexer.group_count
     starts = indexer.group_start
@@ -129,6 +266,13 @@ def pack_index(indexer) -> PackedIndex:
         src_c = np.clip(src, 0, len(se_c) - 1)
         dupes[:, :, 0] = np.where(valid, se_c[src_c], EMPTY).astype(np.int32)
         dupes[:, :, 1] = np.where(valid, se_p[src_c], 0).astype(np.int32)
+    return keys, contigs, poss, dupes, max_dupe
+
+
+def pack_index(indexer) -> PackedIndex:
+    """Build the device table from a host core.indexer.Indexer (fully
+    vectorized over the indexer's grouped-array representation)."""
+    keys, contigs, poss, dupes, max_dupe = _entries_from_indexer(indexer)
 
     from .. import native
 
@@ -145,7 +289,7 @@ def pack_index(indexer) -> PackedIndex:
         nb *= 2
 
 
-def _place(order, buckets, fill, nb):
+def _place(order, buckets, fill, nb, slots_per_bucket: int = SLOTS):
     """Given candidate bucket per key (and current fills), compute slot for
     keys in `order`; returns (slots, placed_mask) — vectorized rank-within-
     bucket via sort."""
@@ -158,17 +302,21 @@ def _place(order, buckets, fill, nb):
     run_start = np.maximum.accumulate(np.where(first, idx, -1))
     rank = idx - run_start
     slots = fill[bs] + rank
-    ok = slots < SLOTS
+    ok = slots < slots_per_bucket
     return ob, bs, slots, ok
 
 
-def _build(keys, contigs, poss, nb, shift, rounds: int = 8):
-    """Iterative balanced 2-choice placement: each round sends pending keys
-    to the currently-emptier of their two buckets; repeated rounds converge
-    at load factors well above what single-pass overflow tolerates."""
-    table = np.zeros((nb, SLOTS, 3), np.int32)
-    table[:, :, 1] = EMPTY
+def _place_2choice(keys, nb, shift, slots_per_bucket, rounds: int = 8):
+    """Iterative balanced 2-choice placement of unique `keys` into nb
+    buckets of `slots_per_bucket`: each round sends pending keys to the
+    currently-emptier of their two buckets; repeated rounds converge at
+    load factors well above what single-pass overflow tolerates. A tiny
+    residue falls back to a cuckoo eviction random walk.
+
+    -> (bucket, slot) int64 arrays per key, or None if placement failed."""
     fill = np.zeros(nb, np.int64)
+    out_b = np.full(len(keys), -1, np.int64)
+    out_s = np.full(len(keys), -1, np.int64)
     pending = np.arange(len(keys))
     b1_all = h1_np(keys, shift)
     b2_all = h2_np(keys, shift)
@@ -184,23 +332,61 @@ def _build(keys, contigs, poss, nb, shift, rounds: int = 8):
             choose = np.where(fill[b2] <= fill[b1], b2, b1)
         buckets = np.empty(len(keys), np.int64)
         buckets[pending] = choose
-        ob, bs, slots, ok = _place(pending, buckets, fill, nb)
+        ob, bs, slots, ok = _place(pending, buckets, fill, nb, slots_per_bucket)
         put = ob[ok]
-        pb, ps = bs[ok], slots[ok]
-        table[pb, ps, 0] = keys[put].astype(np.int32)
-        table[pb, ps, 1] = contigs[put]
-        table[pb, ps, 2] = poss[put]
-        np.add.at(fill, pb, 1)
+        out_b[put] = bs[ok]
+        out_s[put] = slots[ok]
+        np.add.at(fill, bs[ok], 1)
         pending = ob[~ok]
     if len(pending):
-        # tiny residue with both buckets full: cuckoo eviction random walk
         if len(pending) > 4096:
             return None
+        occupant = np.full((nb, slots_per_bucket), -1, np.int64)
+        placed = out_b >= 0
+        occupant[out_b[placed], out_s[placed]] = np.nonzero(placed)[0]
         for i in pending.tolist():
-            if not _cuckoo_insert(
-                table, fill, int(keys[i]), int(contigs[i]), int(poss[i]), shift
+            if not _cuckoo_place(
+                occupant, fill, keys, out_b, out_s, i, shift, slots_per_bucket
             ):
                 return None
+    return out_b, out_s
+
+
+def _cuckoo_place(occupant, fill, keys, out_b, out_s, i, shift,
+                  slots_per_bucket, max_kicks: int = 500):
+    """Place key index i via random-walk eviction, updating the placement
+    arrays in-place."""
+    rng = np.random.default_rng(np.uint32(keys[i]))
+    cur = i
+    bucket = int(h1_np(np.uint32(keys[cur]), shift))
+    for _ in range(max_kicks):
+        for b in (bucket, _alt_bucket(int(keys[cur]) & 0xFFFFFFFF, bucket, shift)):
+            if fill[b] < slots_per_bucket:
+                s = int(fill[b])
+                occupant[b, s] = cur
+                out_b[cur], out_s[cur] = b, s
+                fill[b] += 1
+                return True
+        s = int(rng.integers(slots_per_bucket))
+        victim = int(occupant[bucket, s])
+        occupant[bucket, s] = cur
+        out_b[cur], out_s[cur] = bucket, s
+        cur = victim
+        bucket = _alt_bucket(int(keys[cur]) & 0xFFFFFFFF, bucket, shift)
+    return False
+
+
+def _build(keys, contigs, poss, nb, shift, rounds: int = 8):
+    """2-choice placement into the split [key, contig, pos] slot layout."""
+    placed = _place_2choice(keys, nb, shift, SLOTS, rounds)
+    if placed is None:
+        return None
+    pb, ps = placed
+    table = np.zeros((nb, SLOTS, 3), np.int32)
+    table[:, :, 1] = EMPTY
+    table[pb, ps, 0] = keys.astype(np.int32)
+    table[pb, ps, 1] = contigs
+    table[pb, ps, 2] = poss
     return table
 
 
@@ -209,30 +395,6 @@ def _alt_bucket(key: int, bucket: int, shift: int) -> int:
     b1 = int(h1_np(k, shift))
     b2 = int(h2_np(k, shift))
     return b2 if bucket == b1 else b1
-
-
-def _key_i32(key: int) -> int:
-    """u32 key value -> int32 bit pattern (table storage form)."""
-    return key - (1 << 32) if key >= (1 << 31) else key
-
-
-def _cuckoo_insert(table, fill, key, contig, pos, shift, max_kicks: int = 500):
-    rng = np.random.default_rng(np.uint32(key))
-    cur = (key & 0xFFFFFFFF, contig, pos)
-    bucket = int(h1_np(np.uint32(key), shift))
-    for _ in range(max_kicks):
-        for b in (bucket, _alt_bucket(cur[0], bucket, shift)):
-            if fill[b] < SLOTS:
-                table[b, int(fill[b])] = (_key_i32(cur[0]), cur[1], cur[2])
-                fill[b] += 1
-                return True
-        # evict a random occupant of `bucket` and take its slot
-        s = int(rng.integers(SLOTS))
-        victim = tuple(int(v) for v in table[bucket, s])
-        table[bucket, s] = (_key_i32(cur[0]), cur[1], cur[2])
-        cur = (victim[0] & 0xFFFFFFFF, victim[1], victim[2])
-        bucket = _alt_bucket(cur[0], bucket, shift)
-    return False
 
 
 def lookup_np(packed: PackedIndex, kmers: np.ndarray):

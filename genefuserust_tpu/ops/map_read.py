@@ -104,6 +104,81 @@ def hash_lookup(table: jnp.ndarray, shift: int, kmers: jnp.ndarray, valid: jnp.n
     return out_c, out_p
 
 
+def kv_lookup(kv_tbl: jnp.ndarray, shift: int, cbits: int, pos_bias: int,
+              kmers: jnp.ndarray, valid: jnp.ndarray):
+    """Combined-row lookup (ops/hashtable.PackedIndexKV layout): TWO row
+    gathers per query — each 8xint32 row holds 4 [key | payload] slots for
+    both candidate buckets. Returns (contig, pos) with hash_lookup's
+    conventions (EMPTY miss, DUPE with pos=dupe row, HIGH, or regular)."""
+    pbits = 32 - cbits
+    ki = kmers.astype(jnp.int32)
+    k = kmers
+    b1 = ((k * jnp.uint32(0x9E3779B1)) >> shift).astype(jnp.int32)
+    b2 = (
+        ((k ^ (k >> 15)) * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35)) >> shift
+    ).astype(jnp.int32)
+    r1 = jnp.take(kv_tbl, b1, axis=0)  # (..., 8)
+    r2 = jnp.take(kv_tbl, b2, axis=0)
+    m1 = r1[..., :4] == ki[..., None]
+    m2 = r2[..., :4] == ki[..., None]
+    # keys are unique across both buckets' slots, so at most one slot
+    # matches; empty slots carry an absent-key sentinel and payload 0
+    pay = jnp.where(m1, r1[..., 4:], 0).sum(-1) | jnp.where(
+        m2, r2[..., 4:], 0
+    ).sum(-1)
+    tag = (pay.astype(jnp.uint32) >> cbits_shift(pbits)).astype(jnp.int32)
+    val = pay & ((1 << pbits) - 1)
+    contig = jnp.where(
+        tag == 0,
+        EMPTY,
+        jnp.where(tag == 1, HIGH, jnp.where(tag == 2, DUPE, tag - 3)),
+    )
+    pos = jnp.where(tag >= 3, val + pos_bias, jnp.where(tag == 2, val, 0))
+    contig = jnp.where(valid, contig, EMPTY)
+    return contig, pos
+
+
+def cbits_shift(pbits: int):
+    return jnp.uint32(pbits)
+
+
+def expand_candidates_kv(contig, pos, dupes_packed: jnp.ndarray,
+                         max_dupe: int, cbits: int, pos_bias: int):
+    """KV-layout candidate expansion: dupe rows are 8 packed payloads
+    (regular-coded); one row gather serves the whole dupe list."""
+    pbits = 32 - cbits
+    is_reg = contig >= 0
+    is_dupe = contig == DUPE
+    if max_dupe <= 1 or dupes_packed.shape[0] == 0:
+        cc = jnp.where(is_reg, contig, 0)[..., None]
+        cp = jnp.where(is_reg, pos, 0)[..., None]
+        cv = is_reg[..., None]
+        return cc, cp, cv
+    drow = jnp.take(dupes_packed, jnp.where(is_dupe, pos, 0), axis=0)
+    drow = drow[..., :max_dupe]  # (..., D) packed payloads
+    dtag = (drow.astype(jnp.uint32) >> cbits_shift(pbits)).astype(jnp.int32)
+    dval = drow & ((1 << pbits) - 1)
+    dv = is_dupe[..., None] & (dtag >= 3)
+    cc = jnp.where(dv, dtag - 3, 0)
+    cp = jnp.where(dv, dval + pos_bias, 0)
+    cc = cc.at[..., 0].set(jnp.where(is_reg, contig, cc[..., 0]))
+    cp = cp.at[..., 0].set(jnp.where(is_reg, pos, cp[..., 0]))
+    cv = dv.at[..., 0].set(jnp.where(is_reg, True, dv[..., 0]))
+    return cc, cp, cv
+
+
+def lookup_expand(keys_tbl, vals_tbl, dupes, shift: int, max_dupe: int,
+                  kv: bool, cbits: int, pos_bias: int, kmers, valid):
+    """Layout dispatch (static): split layout (keys_tbl + vals_tbl + dupe
+    pair rows) vs KV layout (keys_tbl holds combined rows, vals_tbl is a
+    dummy, dupes holds packed payload rows)."""
+    if kv:
+        contig, pos = kv_lookup(keys_tbl, shift, cbits, pos_bias, kmers, valid)
+        return expand_candidates_kv(contig, pos, dupes, max_dupe, cbits, pos_bias)
+    contig, pos = hash_lookup((keys_tbl, vals_tbl), shift, kmers, valid)
+    return expand_candidates(contig, pos, dupes, max_dupe)
+
+
 def expand_candidates(contig, pos, dupes: jnp.ndarray, max_dupe: int):
     """(B, NK) lookup results -> (B, NK, D) candidate (contig, pos, valid).
 
@@ -226,7 +301,10 @@ def extract_segments(mask: jnp.ndarray, lengths: jnp.ndarray, target: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shift", "max_dupe", "major_req", "minor_req"),
+    static_argnames=(
+        "shift", "max_dupe", "major_req", "minor_req", "kv", "cbits",
+        "pos_bias",
+    ),
 )
 def map_read_pass1(
     codes: jnp.ndarray,  # (B, L) uint8
@@ -238,6 +316,9 @@ def map_read_pass1(
     max_dupe: int,
     major_req: int = 40,
     minor_req: int = 20,
+    kv: bool = False,
+    cbits: int = 0,
+    pos_bias: int = 0,
 ):
     """Vote phase only: stride-2 k-mer lookups, top-2 selection, threshold
     gate. Returns (pass1_ok, h1, l1, h2, l2). The engine compacts the small
@@ -248,8 +329,10 @@ def map_read_pass1(
     km, kvalid = compute_kmers(codes, lengths)
     skm = km[:, ::PASS1_STEP]
     skv = kvalid[:, ::PASS1_STEP]
-    contig, pos = hash_lookup((keys_tbl, vals_tbl), shift, skm, skv)
-    cc, cp, cv = expand_candidates(contig, pos, dupes, max_dupe)
+    cc, cp, cv = lookup_expand(
+        keys_tbl, vals_tbl, dupes, shift, max_dupe, kv, cbits, pos_bias,
+        skm, skv,
+    )
     D = cc.shape[-1]
     NS = skm.shape[1]
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, NS), 1) * PASS1_STEP
@@ -263,7 +346,8 @@ def map_read_pass1(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shift", "max_dupe", "mismatch_thr")
+    jax.jit,
+    static_argnames=("shift", "max_dupe", "mismatch_thr", "kv", "cbits", "pos_bias"),
 )
 def map_read_pass2(
     codes: jnp.ndarray,  # (Bc, L) uint8 — compacted survivors
@@ -278,12 +362,17 @@ def map_read_pass2(
     shift: int,
     max_dupe: int,
     mismatch_thr: int = 10,
+    kv: bool = False,
+    cbits: int = 0,
+    pos_bias: int = 0,
 ) -> MapReadResult:
     """Mask + segment phase for reads that passed the vote gate."""
     B, L = codes.shape
     km, kvalid = compute_kmers(codes, lengths)
-    contig, pos = hash_lookup((keys_tbl, vals_tbl), shift, km, kvalid)
-    cc, cp, cv = expand_candidates(contig, pos, dupes, max_dupe)
+    cc, cp, cv = lookup_expand(
+        keys_tbl, vals_tbl, dupes, shift, max_dupe, kv, cbits, pos_bias,
+        km, kvalid,
+    )
     NK = km.shape[1]
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, NK), 1)
     a_lo = cp - i_idx[:, :, None]
@@ -312,7 +401,10 @@ def map_read_pass2(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shift", "max_dupe", "major_req", "minor_req", "mismatch_thr"),
+    static_argnames=(
+        "shift", "max_dupe", "major_req", "minor_req", "mismatch_thr",
+        "kv", "cbits", "pos_bias",
+    ),
 )
 def map_read_batch(
     codes: jnp.ndarray,  # (B, L) uint8
@@ -325,12 +417,17 @@ def map_read_batch(
     major_req: int = 40,
     minor_req: int = 20,
     mismatch_thr: int = 10,
+    kv: bool = False,
+    cbits: int = 0,
+    pos_bias: int = 0,
 ) -> MapReadResult:
     B, L = codes.shape
     NK = L - KMER + 1
     km, kvalid = compute_kmers(codes, lengths)
-    contig, pos = hash_lookup((keys_tbl, vals_tbl), shift, km, kvalid)
-    cc, cp, cv = expand_candidates(contig, pos, dupes, max_dupe)
+    cc, cp, cv = lookup_expand(
+        keys_tbl, vals_tbl, dupes, shift, max_dupe, kv, cbits, pos_bias,
+        km, kvalid,
+    )
     D = cc.shape[-1]
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (B, NK), 1)
 

@@ -60,19 +60,62 @@ class TpuEngine:
         self._vals = None
         self._dupes = None
         self._packed = None
+        self._kv = False
+        self._cbits = 0
+        self._pos_bias = 0
         self._progress_t0 = None
         self._progress_n = 0
         self._queue = []
 
+    @property
+    def _tbl_statics(self):
+        """Static kwargs shared by every table-consuming kernel call."""
+        return dict(
+            shift=self._packed.shift,
+            max_dupe=self._packed.max_dupe,
+            kv=self._kv,
+            cbits=self._cbits,
+            pos_bias=self._pos_bias,
+        )
+
+    def use_packed(self, packed) -> None:
+        """Install a pre-built device index (PackedIndex or PackedIndexKV)."""
+        import jax.numpy as jnp
+
+        self._packed = packed
+        self._kv = hasattr(packed, "kv_tbl")
+        if self._kv:
+            self._cbits = packed.cbits
+            self._pos_bias = packed.pos_bias
+            self._keys = jnp.asarray(packed.kv_tbl)
+            self._vals = jnp.zeros((1, 2), jnp.int32)  # unused in KV layout
+        else:
+            self._cbits = 0
+            self._pos_bias = 0
+            self._keys = jnp.asarray(packed.keys_tbl)
+            self._vals = jnp.asarray(packed.vals_tbl)
+        self._dupes = jnp.asarray(packed.dupes)
+
     def _progress(self, n: int) -> None:
-        """Throughput logging (reference progress bars: src/aux/pbar.rs)."""
+        """Scan progress: unknown-length 8Hz spinner with reads/s on a TTY
+        (reference progress bars: src/aux/pbar.rs), throughput log lines
+        otherwise."""
         import time
+
+        from ..utils.pbar import prepare_pbar
 
         if self._progress_t0 is None:
             self._progress_t0 = time.time()
+            self._pbar = prepare_pbar(0)
+            self._pbar.set_message("scanning reads...")
         self._progress_n += n
+        self._pbar.inc(n)
         dt = time.time() - self._progress_t0
-        if dt > 0 and self._progress_n % (self.batch_size * 8) < n:
+        if (
+            self._pbar.is_hidden()
+            and dt > 0
+            and self._progress_n % (self.batch_size * 8) < n
+        ):
             log.info(
                 "scanned %d reads (%.0f reads/s)", self._progress_n,
                 self._progress_n / dt,
@@ -83,19 +126,18 @@ class TpuEngine:
     def _prepare(self, mapper) -> None:
         if self._prepared_for is mapper:
             return
-        import jax.numpy as jnp
+        from ..ops.hashtable import pack_index, pack_index_kv
 
-        from ..ops.hashtable import pack_index
-
-        self._packed = pack_index(mapper.indexer)
-        self._keys = jnp.asarray(self._packed.keys_tbl)
-        self._vals = jnp.asarray(self._packed.vals_tbl)
-        self._dupes = jnp.asarray(self._packed.dupes)
+        packed = pack_index_kv(mapper.indexer)
+        if packed is None:  # panel exceeds the KV payload bit budget
+            packed = pack_index(mapper.indexer)
+        self.use_packed(packed)
         self._prepared_for = mapper
         log.info(
-            "device index ready: %d buckets, %.1f MB",
+            "device index ready: %d buckets, %.1f MB%s",
             self._packed.n_buckets,
             self._packed.nbytes / 1e6,
+            " (kv rows)" if self._kv else "",
         )
 
     # ------------- public API: object streams -------------
@@ -332,16 +374,19 @@ class TpuEngine:
             ml = np.zeros(pb, np.int32)
             mi[: len(rows_m)] = rows_m
             ml[: len(rows_m)] = c["m_len"][rows_m]
+            # length bucketing: trim the scan width to the batch's max
+            # merged length, rounded up to bound compiled-shape variants
+            width = _round_up(max(KMER, int(ml.max())), 32)
             c["pm_d"] = pass1_rows_merged(
                 c["m_codes_d"],
                 jnp.asarray(mi),
                 jnp.asarray(ml),
                 *common,
                 L2=2 * c["L"],
-                shift=self._packed.shift,
-                max_dupe=self._packed.max_dupe,
                 major_req=st.major_gene_key_requirement,
                 minor_req=st.minor_gene_key_requirement,
+                width=width,
+                **self._tbl_statics,
             )
         if len(uidx):
             n_r = 2 * len(uidx)
@@ -362,10 +407,9 @@ class TpuEngine:
                 jnp.asarray(rwork),
                 *common,
                 L=c["L"],
-                shift=self._packed.shift,
-                max_dupe=self._packed.max_dupe,
                 major_req=st.major_gene_key_requirement,
                 minor_req=st.minor_gene_key_requirement,
+                **self._tbl_statics,
             )
         c["stage"] = 1
 
@@ -426,9 +470,8 @@ class TpuEngine:
                 self._vals,
                 self._dupes,
                 L=c["L"],
-                shift=self._packed.shift,
-                max_dupe=self._packed.max_dupe,
                 mismatch_thr=st.mismatch_threshold,
+                **self._tbl_statics,
             )
         c["stage"] = 2
 
@@ -546,10 +589,9 @@ class TpuEngine:
             self._keys,
             self._vals,
             self._dupes,
-            self._packed.shift,
-            self._packed.max_dupe,
-            st.major_gene_key_requirement,
-            st.minor_gene_key_requirement,
+            major_req=st.major_gene_key_requirement,
+            minor_req=st.minor_gene_key_requirement,
+            **self._tbl_statics,
         )
         ok = np.asarray(ok)
         sv = np.zeros((n, 2), bool)
@@ -576,9 +618,8 @@ class TpuEngine:
             self._keys,
             self._vals,
             self._dupes,
-            self._packed.shift,
-            self._packed.max_dupe,
-            st.mismatch_threshold,
+            mismatch_thr=st.mismatch_threshold,
+            **self._tbl_statics,
         )
         k = len(surv)
         sv[surv] = np.asarray(res.seg_valid)[:k]

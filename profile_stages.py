@@ -21,19 +21,26 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def fori_time(name, fn, iters, *args):
+def fori_time(name, fn, iters, *args, roll_arg: int = 0):
     """Time fn(*args) executed `iters` times inside one jitted fori_loop.
-    fn must return an array; we fold a scalar through to serialize."""
+
+    args[roll_arg] is rolled by the loop counter along axis 0 each
+    iteration so XLA cannot hoist the loop-invariant body out of the loop
+    (the roll's copy cost is bandwidth-bound and negligible vs the
+    kernels measured here). fn must return an array; a scalar is folded
+    through the carry to serialize iterations."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(*a):
-        def body(_, acc):
-            out = fn(*a)
-            return acc + jnp.sum(out).astype(jnp.int64)
+        def body(k, acc):
+            b = list(a)
+            b[roll_arg] = jnp.roll(b[roll_arg], k, axis=0)
+            out = fn(*b)
+            return acc + jnp.sum(out).astype(jnp.int32)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
     r = run(*args)
     r.block_until_ready()
@@ -179,6 +186,7 @@ def main():
         vals,
         skm,
         skv,
+        roll_arg=2,
     )
 
     # key-probes only (isolate the value gather)
@@ -195,14 +203,18 @@ def main():
             k2 == q[..., None].astype(jnp.int32)
         ).any(-1)
 
-    fori_time("  key probes only (2 gathers)", probes_only, it, keys, skm)
+    fori_time(
+        "  key probes only (2 gathers)", probes_only, it, keys, skm, roll_arg=1
+    )
 
     def one_probe(ktbl, q):
         b1_ = ((q * jnp.uint32(0x9E3779B1)) >> shift).astype(jnp.int32)
         k1 = jnp.take(ktbl, b1_, axis=0)
         return (k1 == q[..., None].astype(jnp.int32)).any(-1)
 
-    fori_time("  one key probe (1 gather)", one_probe, it, keys, skm)
+    fori_time(
+        "  one key probe (1 gather)", one_probe, it, keys, skm, roll_arg=1
+    )
 
     contig, pos = mr.hash_lookup((keys, vals), shift, skm, skv)
     contig.block_until_ready()
@@ -248,6 +260,7 @@ def main():
             it,
             tbl,
             idx,
+            roll_arg=1,
         )
         print(f"    -> {dt / NQ * 1e9:.1f} ns/row", flush=True)
 
@@ -264,6 +277,7 @@ def main():
         it,
         tbl2,
         idx,
+        roll_arg=1,
     )
     print(f"    -> {dt / NQ * 1e9:.1f} ns/row", flush=True)
 
@@ -277,6 +291,7 @@ def main():
         it,
         tbl1,
         idx,
+        roll_arg=1,
     )
     print(f"    -> {dt / NQ * 1e9:.1f} ns/row", flush=True)
 

@@ -10,7 +10,13 @@ from genefuserust_tpu.config import Settings
 from genefuserust_tpu.core.indexer import Indexer
 from genefuserust_tpu.core.sequence import encode_bases, reverse_complement
 from genefuserust_tpu.models.fusion import Fusion
-from genefuserust_tpu.ops.hashtable import pack_index, lookup_np, EMPTY
+from genefuserust_tpu.ops.hashtable import (
+    EMPTY,
+    lookup_np,
+    lookup_np_kv,
+    pack_index,
+    pack_index_kv,
+)
 from genefuserust_tpu.utils.synthetic import make_panel, plant_fusion_pairs, write_panel_files
 
 
@@ -32,24 +38,35 @@ def batch_of(reads, L):
     return codes, lengths
 
 
-def run_device(ix, reads, L=None):
+def run_device(ix, reads, L=None, layout="split"):
     import jax.numpy as jnp
     from genefuserust_tpu.ops.map_read import map_read_batch
 
     L = L or max(16, max(len(r) for r in reads))
     codes, lengths = batch_of(reads, L)
-    packed = pack_index(ix)
+    if layout == "kv":
+        packed = pack_index_kv(ix)
+        assert packed is not None, "panel should fit the KV payload budget"
+        tbl1 = jnp.asarray(packed.kv_tbl)
+        tbl2 = jnp.zeros((1, 2), jnp.int32)
+        statics = dict(kv=True, cbits=packed.cbits, pos_bias=packed.pos_bias)
+    else:
+        packed = pack_index(ix)
+        tbl1 = jnp.asarray(packed.keys_tbl)
+        tbl2 = jnp.asarray(packed.vals_tbl)
+        statics = {}
     res = map_read_batch(
         jnp.asarray(codes),
         jnp.asarray(lengths),
-        jnp.asarray(packed.keys_tbl),
-        jnp.asarray(packed.vals_tbl),
+        tbl1,
+        tbl2,
         jnp.asarray(packed.dupes),
         packed.shift,
         packed.max_dupe,
         ix.settings.major_gene_key_requirement,
         ix.settings.minor_gene_key_requirement,
         ix.settings.mismatch_threshold,
+        **statics,
     )
     return [
         [
@@ -133,7 +150,51 @@ def test_device_matches_oracle_basic(tmp_path):
     panel = make_panel()
     ix = build_indexer(panel, tmp_path)
     reads = make_reads(panel)
-    assert run_device(ix, reads) == oracle_segs(ix, reads)
+    exp = oracle_segs(ix, reads)
+    assert run_device(ix, reads) == exp
+    assert run_device(ix, reads, layout="kv") == exp
+
+
+def test_kv_table_roundtrip(tmp_path):
+    panel = make_panel()
+    ix = build_indexer(panel, tmp_path)
+    split = pack_index(ix)
+    kvp = pack_index_kv(ix)
+    assert kvp is not None
+    rng = np.random.default_rng(0)
+    keys = np.fromiter(ix.kmer_gp.keys(), np.uint32)
+    probe = np.concatenate(
+        [keys, rng.integers(0, 2**32, size=4000, dtype=np.uint64).astype(np.uint32)]
+    )
+    cs, ps = lookup_np(split, probe)
+    ck, pk = lookup_np_kv(kvp, probe)
+    assert (cs == ck).all()
+    # positions only meaningful where an entry exists (dupe rows are
+    # layout-local indices but must agree in count semantics)
+    reg = cs >= 0
+    assert (ps[reg] == pk[reg]).all()
+    from genefuserust_tpu.ops.hashtable import DUPE
+
+    dup = cs == DUPE
+    if dup.any():
+        # dupe row CONTENT must agree after decoding
+        pbits = 32 - kvp.cbits
+        rows_kv = kvp.dupes[pk[dup]]
+        tag = (rows_kv.astype(np.uint32) >> np.uint32(pbits)).astype(np.int32)
+        val = (rows_kv.astype(np.uint32) & np.uint32((1 << pbits) - 1)).astype(
+            np.int64
+        )
+        rows_sp = split.dupes[ps[dup]]
+        for r_kv_t, r_kv_v, r_sp in zip(tag, val, rows_sp):
+            got = [
+                (int(t - 3), int(v + kvp.pos_bias))
+                for t, v in zip(r_kv_t, r_kv_v)
+                if t >= 3
+            ]
+            exp = [
+                (int(c), int(p)) for c, p in r_sp if c != EMPTY
+            ]
+            assert got == exp
 
 
 def test_device_matches_oracle_with_dupes(tmp_path):
@@ -161,7 +222,9 @@ def test_device_matches_oracle_with_dupes(tmp_path):
     reads.append(s2[g2s + 490 : g2s + 490 + 150])
     # chimeric read through a dupe motif
     reads.append(s1[g1s + 2950 : g1s + 3030] + s2[g2s + 5000 : g2s + 5070])
-    assert run_device(ix, reads) == oracle_segs(ix, reads)
+    exp = oracle_segs(ix, reads)
+    assert run_device(ix, reads) == exp
+    assert run_device(ix, reads, layout="kv") == exp
 
 
 def test_device_matches_oracle_tinyref_panel(tmp_path, refdata):
@@ -185,4 +248,6 @@ def test_device_matches_oracle_tinyref_panel(tmp_path, refdata):
     # junction read ALK(rc, since ALK slice indexes fwd+rc)=EML4
     jread = contigs["chr2"][20000:20080] + contigs["chr2"][50000:50072]
     reads = [jread, reverse_complement(jread)]
-    assert run_device(ix, reads) == oracle_segs(ix, reads)
+    exp = oracle_segs(ix, reads)
+    assert run_device(ix, reads) == exp
+    assert run_device(ix, reads, layout="kv") == exp
