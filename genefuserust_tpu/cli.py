@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="directory for the on-disk panel index cache (speeds up repeat "
         "runs; results are identical)",
     )
+    p.add_argument(
+        "--mesh",
+        default="auto",
+        help="device mesh size for data-parallel scanning: 'auto' (all "
+        "local devices), '1' (single device), or an explicit chip count",
+    )
     return p
 
 
@@ -100,6 +106,7 @@ def main(argv=None) -> int:
         ),
         engine=args.engine,
         index_cache_dir=args.index_cache,
+        mesh=args.mesh,
     )
     genefuse(config)
     return 0

@@ -34,6 +34,7 @@ class RunConfig:
     settings: Settings = dataclasses.field(default_factory=Settings)
     engine: str = "tpu"
     index_cache_dir: str = ""
+    mesh: str = "auto"  # 'auto' | chip count for data-parallel scanning
 
 
 def init_logger() -> None:
@@ -58,14 +59,40 @@ def check_file_valid(path: str) -> None:
         raise SystemExit(-1)
 
 
-def make_engine(kind: str, settings: Settings):
+def make_engine(kind: str, settings: Settings, mesh: str = "auto"):
     if kind == "host":
         from .core.scanner import HostEngine
 
         return HostEngine()
     from .parallel.engine import TpuEngine
 
-    return TpuEngine(settings)
+    return TpuEngine(settings, mesh=_resolve_mesh(mesh))
+
+
+def _resolve_mesh(spec: str):
+    """'auto' -> a data mesh over all local devices when more than one is
+    available; 'N' -> a mesh over the first N devices; '1'/'' -> None
+    (single-device flow, no sharding machinery)."""
+    import jax
+
+    devices = jax.devices()
+    if spec in ("", "1"):
+        return None
+    if spec == "auto":
+        n = len(devices)
+    else:
+        n = int(spec)
+        if n > len(devices):
+            print(
+                f"ERROR: --mesh {n} requested but only {len(devices)} "
+                "devices are available, quit now"
+            )
+            raise SystemExit(-1)
+    if n <= 1:
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(devices[:n])
 
 
 def genefuse(config: RunConfig) -> None:
@@ -90,7 +117,7 @@ def scan(config: RunConfig, command: str) -> None:
     from .core.scanner import Scanner
 
     ext = Path(config.fusion_file).suffix
-    engine = make_engine(config.engine, config.settings)
+    engine = make_engine(config.engine, config.settings, config.mesh)
 
     from .io.fastq_block import read_fastq_block, read_pair_block
 

@@ -50,11 +50,30 @@ def _tokenize_bytes(strings: List[bytes], L: int) -> Tuple[np.ndarray, np.ndarra
 
 
 class TpuEngine:
-    """Batched engine; device selection follows JAX's default backend."""
+    """Batched engine; device selection follows JAX's default backend.
 
-    def __init__(self, settings: Settings, batch_size: int = 32768):
+    Multi-chip: pass a 1-D `jax.sharding.Mesh` (axis name "data") and the
+    engine shards every read batch over it while replicating the index
+    tables — the TPU-native replacement for the reference's consumer
+    thread pool (pescanner.rs:296-311). The kernels are batch-parallel, so
+    jit's auto-SPMD partitioning runs them collective-free per shard; host
+    compaction/assembly sees gathered summaries exactly as in the
+    single-device flow, keeping results byte-identical (checked in
+    tests/test_mesh_engine.py)."""
+
+    def __init__(self, settings: Settings, batch_size: int = 32768, mesh=None):
         self.settings = settings
         self.batch_size = batch_size
+        self.mesh = mesh
+        self._n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        self._batch_sharding = None
+        self._repl_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._batch_sharding = NamedSharding(mesh, P(axis))
+            self._repl_sharding = NamedSharding(mesh, P())
         self._prepared_for = None
         self._keys = None
         self._vals = None
@@ -66,6 +85,23 @@ class TpuEngine:
         self._progress_t0 = None
         self._progress_n = 0
         self._queue = []
+
+    def _put_batch(self, x):
+        """Upload a batch-dim array (sharded over the mesh if present)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._batch_sharding is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._batch_sharding)
+
+    def _put_repl(self, x):
+        import jax
+        import jax.numpy as jnp
+
+        if self._repl_sharding is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._repl_sharding)
 
     @property
     def _tbl_statics(self):
@@ -79,22 +115,28 @@ class TpuEngine:
         )
 
     def use_packed(self, packed) -> None:
-        """Install a pre-built device index (PackedIndex or PackedIndexKV)."""
-        import jax.numpy as jnp
-
+        """Install a pre-built device index (PackedIndex or PackedIndexKV);
+        tables are replicated across the mesh (they are small vs HBM)."""
         self._packed = packed
         self._kv = hasattr(packed, "kv_tbl")
         if self._kv:
             self._cbits = packed.cbits
             self._pos_bias = packed.pos_bias
-            self._keys = jnp.asarray(packed.kv_tbl)
-            self._vals = jnp.zeros((1, 2), jnp.int32)  # unused in KV layout
+            self._keys = self._put_repl(packed.kv_tbl)
+            self._vals = self._put_repl(np.zeros((1, 2), np.int32))  # unused
         else:
             self._cbits = 0
             self._pos_bias = 0
-            self._keys = jnp.asarray(packed.keys_tbl)
-            self._vals = jnp.asarray(packed.vals_tbl)
-        self._dupes = jnp.asarray(packed.dupes)
+            self._keys = self._put_repl(packed.keys_tbl)
+            self._vals = self._put_repl(packed.vals_tbl)
+        self._dupes = self._put_repl(packed.dupes)
+
+    def _pad_rows(self, n: int) -> int:
+        """Power-of-two row padding, at least one row per mesh device."""
+        pb = max(8, self._n_dev)
+        while pb < n:
+            pb *= 2
+        return pb
 
     def _progress(self, n: int) -> None:
         """Scan progress: unknown-length 8Hz spinner with reads/s on a TTY
@@ -296,7 +338,7 @@ class TpuEngine:
         padB = 16
         while padB < B:
             padB *= 2
-        chunk = min(2048, padB)
+        chunk = max(1, min(2048, padB // self._n_dev))
         if padB != B:
             padrows = padB - B
 
@@ -319,9 +361,9 @@ class TpuEngine:
             axis=1,
         )
         lens2 = np.stack([l1, l2], axis=1).astype(np.int32)
-        buf_d = jnp.asarray(buf)
+        buf_d = self._put_batch(buf)
         msum_d, m_codes_d = fused_merge_chunked(
-            buf_d, jnp.asarray(lens2), L, chunk
+            buf_d, self._put_batch(lens2), L, chunk
         )
         return dict(
             stage=0,
@@ -367,9 +409,7 @@ class TpuEngine:
         c["pr_d"] = None
         common = (self._keys, self._vals, self._dupes)
         if len(rows_m):
-            pb = 8
-            while pb < len(rows_m):
-                pb *= 2
+            pb = self._pad_rows(len(rows_m))
             mi = np.zeros(pb, np.int32)
             ml = np.zeros(pb, np.int32)
             mi[: len(rows_m)] = rows_m
@@ -379,8 +419,8 @@ class TpuEngine:
             width = _round_up(max(KMER, int(ml.max())), 32)
             c["pm_d"] = pass1_rows_merged(
                 c["m_codes_d"],
-                jnp.asarray(mi),
-                jnp.asarray(ml),
+                self._put_repl(mi),
+                self._put_repl(ml),
                 *common,
                 L2=2 * c["L"],
                 major_req=st.major_gene_key_requirement,
@@ -390,9 +430,7 @@ class TpuEngine:
             )
         if len(uidx):
             n_r = 2 * len(uidx)
-            pb = 8
-            while pb < n_r:
-                pb *= 2
+            pb = self._pad_rows(n_r)
             rwork = np.zeros((pb, 3), np.int32)
             rwork[: len(uidx), 0] = uidx
             rwork[: len(uidx), 1] = 1
@@ -404,7 +442,7 @@ class TpuEngine:
             c["n_r"] = n_r
             c["pr_d"] = pass1_rows_packed(
                 c["buf_d"],
-                jnp.asarray(rwork),
+                self._put_repl(rwork),
                 *common,
                 L=c["L"],
                 major_req=st.major_gene_key_requirement,
@@ -451,9 +489,7 @@ class TpuEngine:
             lens_arr = np.concatenate(lens_list).astype(np.int32)
             gps_arr = np.concatenate(gps_list).astype(np.int32)
             n_surv = len(idx)
-            pb = 8
-            while pb < n_surv:
-                pb *= 2
+            pb = self._pad_rows(n_surv)
             work = np.zeros((pb, 7), np.int32)
             work[:n_surv, 0] = idx
             work[:n_surv, 1] = lane_arr
@@ -465,7 +501,7 @@ class TpuEngine:
             c["out_d"] = fused_pass2_combined(
                 c["m_codes_d"],
                 c["buf_d"],
-                jnp.asarray(work),
+                self._put_repl(work),
                 self._keys,
                 self._vals,
                 self._dupes,
@@ -584,8 +620,8 @@ class TpuEngine:
         st = self.settings
         n = len(lens)
         ok, h1, l1, h2, l2 = map_read_pass1(
-            jnp.asarray(codes),
-            jnp.asarray(lens),
+            self._put_batch(codes),
+            self._put_batch(lens),
             self._keys,
             self._vals,
             self._dupes,
@@ -604,17 +640,15 @@ class TpuEngine:
             return sv, ss, se, sc, sp
         h1, l1, h2, l2 = (np.asarray(x) for x in (h1, l1, h2, l2))
         # pad survivor count to a power-of-two bucket to bound jit variants
-        pb = 8
-        while pb < len(surv):
-            pb *= 2
+        pb = self._pad_rows(len(surv))
         idx = np.concatenate([surv, np.zeros(pb - len(surv), np.int64)])
         res = map_read_pass2(
-            jnp.asarray(codes[idx]),
-            jnp.asarray(np.where(np.arange(pb) < len(surv), lens[idx], 0)),
-            jnp.asarray(h1[idx]),
-            jnp.asarray(l1[idx]),
-            jnp.asarray(h2[idx]),
-            jnp.asarray(l2[idx]),
+            self._put_batch(codes[idx]),
+            self._put_batch(np.where(np.arange(pb) < len(surv), lens[idx], 0)),
+            self._put_batch(h1[idx]),
+            self._put_batch(l1[idx]),
+            self._put_batch(h2[idx]),
+            self._put_batch(l2[idx]),
             self._keys,
             self._vals,
             self._dupes,
