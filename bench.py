@@ -204,6 +204,90 @@ def gen_block(mapper, n: int, read_len: int = 150, seed: int = 2):
     )
 
 
+def split_panel_csvs(panel_mbp: float, n_csv: int):
+    """Split the synthetic panel's genes into n_csv sub-panel CSVs
+    (multi-CSV batch-mode workload, reference bench_res.md:79-92)."""
+    fa, csv = panel_files(panel_mbp)
+    lines = open(csv).read().splitlines(keepends=False)
+    genes = []  # list of [header, exon lines...]
+    for line in lines:
+        if line.startswith(">"):
+            genes.append([line])
+        elif genes:
+            genes[-1].append(line)
+    paths = []
+    for k in range(n_csv):
+        part = genes[k::n_csv]
+        p = os.path.join(CACHE, f"panel_{panel_mbp:g}_part{k}of{n_csv}.csv")
+        with open(p, "w") as f:
+            for g in part:
+                f.write("\n".join(g) + "\n")
+        paths.append(p)
+    return fa, paths
+
+
+def run_multi_csv(args):
+    """Multi-CSV throughput: one shared device pass serves N panels."""
+    import jax
+
+    from genefuserust_tpu.config import Settings
+    from genefuserust_tpu.core.mapper import FusionMapper
+    from genefuserust_tpu.core.scanner import finish_scan
+    from genefuserust_tpu.io import fasta
+    from genefuserust_tpu.parallel.engine import TpuEngine
+
+    n = args.multi_csv
+    fa, csv_paths = split_panel_csvs(args.panel_mbp, n)
+    contigs = fasta.read_all(fa, force_upper_case=False)
+    t0 = time.time()
+    mappers = [
+        FusionMapper(contigs, p, Settings(), True, CACHE, fa) for p in csv_paths
+    ]
+    print(f"# {n} mappers ready: {time.time() - t0:.1f}s", file=sys.stderr)
+    engine = TpuEngine(Settings(), batch_size=args.batch)
+    for m in mappers:
+        engine._prepare(m)
+    print(f"# tables packed+uploaded: {time.time() - t0:.1f}s", file=sys.stderr)
+    block = gen_block(get_mapper(args.panel_mbp), args.pairs, args.read_len)
+
+    # warmup (compiles; covers every distinct per-CSV table shape)
+    t0 = time.time()
+    engine.scan_pair_block_multi(mappers, block)
+    engine.flush()
+    print(f"# warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # single-CSV reference time (one panel, same reads)
+    t0 = time.time()
+    engine.scan_pair_block_multi(mappers[:1], block)
+    engine.flush()
+    t_single = time.time() - t0
+
+    t0 = time.time()
+    engine.scan_pair_block_multi(mappers, block)
+    engine.flush()
+    t_multi = time.time() - t0
+    for i, m in enumerate(mappers):
+        finish_scan(m, "", "", "bench", Settings())
+    speedup = n * t_single / t_multi
+    print(
+        f"# single {t_single:.2f}s; {n}-CSV {t_multi:.2f}s "
+        f"(vs sequential est {n * t_single:.2f}s -> {speedup:.2f}x)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"pe_multi{n}_csv_speedup_vs_sequential",
+                "value": round(speedup, 2),
+                "unit": "x",
+                "vs_baseline": round(
+                    args.pairs * n / t_multi / BASELINE_PAIRS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--panel-mbp", type=float, default=15.2)
@@ -211,6 +295,12 @@ def main():
     ap.add_argument("--pairs", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument(
+        "--multi-csv",
+        type=int,
+        default=0,
+        help="N>0: run the N-CSV batch-mode bench instead of the single scan",
+    )
     args = ap.parse_args()
 
     import jax
@@ -226,6 +316,10 @@ def main():
 
     from genefuserust_tpu.config import Settings
     from genefuserust_tpu.parallel.engine import TpuEngine
+
+    if args.multi_csv > 0:
+        run_multi_csv(args)
+        return
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)

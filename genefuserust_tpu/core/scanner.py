@@ -204,16 +204,29 @@ class Scanner:
     def _finish(self, mapper: FusionMapper) -> FusionMapper:
         if hasattr(self.engine, "flush"):
             self.engine.flush(mapper)
-        mapper.filter_matches()
-        mapper.sort_matches()
-        mapper.cluster_matches()
-        if self.html_file:
-            from ..report.html import HtmlReporter
-
-            HtmlReporter(self.html_file, mapper, self.command, self.settings).run()
-        if self.json_file:
-            from ..report.json import JsonReporter
-
-            JsonReporter(self.json_file, mapper, self.command, self.settings).run()
-        mapper.free_matches()
+        finish_scan(mapper, self.html_file, self.json_file, self.command, self.settings)
         return mapper
+
+
+def finish_scan(
+    mapper: FusionMapper,
+    html_file: str,
+    json_file: str,
+    command: str,
+    settings: Settings,
+) -> None:
+    """Post-scan pipeline tail: filters, deterministic sort, clustering,
+    reports (pescanner.rs:334-346). Shared by Scanner and the multi-CSV
+    driver path."""
+    mapper.filter_matches()
+    mapper.sort_matches()
+    mapper.cluster_matches()
+    if html_file:
+        from ..report.html import HtmlReporter
+
+        HtmlReporter(html_file, mapper, command, settings).run()
+    if json_file:
+        from ..report.json import JsonReporter
+
+        JsonReporter(json_file, mapper, command, settings).run()
+    mapper.free_matches()

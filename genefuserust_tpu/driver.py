@@ -170,24 +170,55 @@ def scan(config: RunConfig, command: str) -> None:
     pb = prepare_pbar_force(len(csv_paths))
     pb.set_message("Scanning fusions given in csv...")
     try:
-        for i, csv in enumerate(csv_paths):
-            scanner = Scanner(
-                csv,
-                contigs,
-                html_names[i] if html_names else "",
-                json_names[i] if json_names else "",
-                config.settings,
-                engine,
-                multi_csv_mode=True,
-                command=command,
-                index_cache_dir=config.index_cache_dir,
-                ref_file=config.ref_file,
-            )
-            if pairs is not None:
-                scanner.scan_pair_block(pairs)
-            else:
-                scanner.scan_single_block(reads)
-            pb.inc(1)
+        if pairs is not None and hasattr(engine, "scan_pair_block_multi"):
+            # throughput mode: ONE device pass over the reads serves every
+            # CSV (pack/upload/merge are panel-independent; see
+            # TpuEngine.scan_pair_block_multi). Reference analog: the outer
+            # rayon pool of fusion_scan.rs:109-181.
+            from .core.mapper import FusionMapper
+            from .core.scanner import finish_scan
+
+            mappers = [
+                FusionMapper(
+                    contigs,
+                    csv,
+                    config.settings,
+                    multi_csv_mode=True,
+                    index_cache_dir=config.index_cache_dir,
+                    ref_file=config.ref_file,
+                )
+                for csv in csv_paths
+            ]
+            engine.scan_pair_block_multi(mappers, pairs)
+            engine.flush()
+            for i, mapper in enumerate(mappers):
+                finish_scan(
+                    mapper,
+                    html_names[i] if html_names else "",
+                    json_names[i] if json_names else "",
+                    command,
+                    config.settings,
+                )
+                pb.inc(1)
+        else:
+            for i, csv in enumerate(csv_paths):
+                scanner = Scanner(
+                    csv,
+                    contigs,
+                    html_names[i] if html_names else "",
+                    json_names[i] if json_names else "",
+                    config.settings,
+                    engine,
+                    multi_csv_mode=True,
+                    command=command,
+                    index_cache_dir=config.index_cache_dir,
+                    ref_file=config.ref_file,
+                )
+                if pairs is not None:
+                    scanner.scan_pair_block(pairs)
+                else:
+                    scanner.scan_single_block(reads)
+                pb.inc(1)
     finally:
         pb.finish_and_clear()
         set_multi_csv_mode(False)

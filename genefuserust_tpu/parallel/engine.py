@@ -10,11 +10,19 @@ Replaces the reference's producer/consumer thread pipeline
         the R1/R2 lanes and vice versa)
   device stage 2: one combined mask/segment pass over the vote survivors
   host  stage 3: segment assembly -> direction check -> make_match +
-        edit-distance verification (rare rows) -> match bins; a tiny retry
+        batched edit-distance verification -> match bins; a tiny retry
         batch for direction-rejected rows (the only case the reference
         retries with the reverse complement — pescanner.rs:455-513)
   Stages of successive batches are interleaved (4-deep) so every fetch
   overlaps younger batches' device work.
+
+Multi-CSV mode (reference: fusion_scan.rs:62-188 outer rayon pool): the
+engine scans ONE read batch against MANY panels at once —
+`scan_pair_block_multi` packs/uploads/merges each batch a single time
+(stage 0 is panel-independent) and fans out stages 1-3 per panel, so the
+per-batch upload and merge cost is amortized across all CSVs and the
+device pipeline stays busy while older panels' matches are assembled on
+the host.
 
 Semantics are identical to the scalar host oracle (cross-checked in
 tests/test_engine_equality.py); only the schedule differs.
@@ -75,13 +83,8 @@ class TpuEngine:
             self._batch_sharding = NamedSharding(mesh, P(axis))
             self._repl_sharding = NamedSharding(mesh, P())
         self._prepared_for = None
-        self._keys = None
-        self._vals = None
-        self._dupes = None
-        self._packed = None
-        self._kv = False
-        self._cbits = 0
-        self._pos_bias = 0
+        self._default_entry = None
+        self._tables = {}  # id(mapper) -> table entry dict
         self._progress_t0 = None
         self._progress_n = 0
         self._queue = []
@@ -103,33 +106,62 @@ class TpuEngine:
             return jnp.asarray(x)
         return jax.device_put(np.asarray(x), self._repl_sharding)
 
-    @property
-    def _tbl_statics(self):
-        """Static kwargs shared by every table-consuming kernel call."""
+    # ------------- index upload -------------
+
+    def _entry_from_packed(self, packed) -> dict:
+        """Upload a PackedIndex / PackedIndexKV; tables are replicated
+        across the mesh (they are small vs HBM)."""
+        if hasattr(packed, "kv_tbl"):
+            keys = self._put_repl(packed.kv_tbl)
+            vals = self._put_repl(np.zeros((1, 2), np.int32))  # unused
+            statics = dict(
+                shift=packed.shift, max_dupe=packed.max_dupe, kv=True,
+                cbits=packed.cbits, pos_bias=packed.pos_bias,
+            )
+        else:
+            keys = self._put_repl(packed.keys_tbl)
+            vals = self._put_repl(packed.vals_tbl)
+            statics = dict(
+                shift=packed.shift, max_dupe=packed.max_dupe, kv=False,
+                cbits=0, pos_bias=0,
+            )
         return dict(
-            shift=self._packed.shift,
-            max_dupe=self._packed.max_dupe,
-            kv=self._kv,
-            cbits=self._cbits,
-            pos_bias=self._pos_bias,
+            packed=packed,
+            keys=keys,
+            vals=vals,
+            dupes=self._put_repl(packed.dupes),
+            statics=statics,
         )
 
     def use_packed(self, packed) -> None:
-        """Install a pre-built device index (PackedIndex or PackedIndexKV);
-        tables are replicated across the mesh (they are small vs HBM)."""
-        self._packed = packed
-        self._kv = hasattr(packed, "kv_tbl")
-        if self._kv:
-            self._cbits = packed.cbits
-            self._pos_bias = packed.pos_bias
-            self._keys = self._put_repl(packed.kv_tbl)
-            self._vals = self._put_repl(np.zeros((1, 2), np.int32))  # unused
-        else:
-            self._cbits = 0
-            self._pos_bias = 0
-            self._keys = self._put_repl(packed.keys_tbl)
-            self._vals = self._put_repl(packed.vals_tbl)
-        self._dupes = self._put_repl(packed.dupes)
+        """Install a pre-built device index for the next-prepared mapper."""
+        self._default_entry = self._entry_from_packed(packed)
+
+    def _table_entry(self, mapper) -> dict:
+        key = id(mapper)
+        e = self._tables.get(key)
+        if e is not None:
+            return e
+        if self._default_entry is not None and self._prepared_for is mapper:
+            self._tables[key] = self._default_entry
+            return self._default_entry
+        from ..ops.hashtable import pack_index, pack_index_kv
+
+        packed = pack_index_kv(mapper.indexer)
+        if packed is None:  # panel exceeds the KV payload bit budget
+            packed = pack_index(mapper.indexer)
+        e = self._entry_from_packed(packed)
+        self._tables[key] = e
+        log.info(
+            "device index ready: %d buckets, %.1f MB%s",
+            packed.n_buckets,
+            packed.nbytes / 1e6,
+            " (kv rows)" if hasattr(packed, "kv_tbl") else "",
+        )
+        return e
+
+    def _prepare(self, mapper) -> None:
+        self._table_entry(mapper)
 
     def _pad_rows(self, n: int) -> int:
         """Power-of-two row padding, at least one row per mesh device."""
@@ -163,25 +195,6 @@ class TpuEngine:
                 self._progress_n / dt,
             )
 
-    # ------------- index upload -------------
-
-    def _prepare(self, mapper) -> None:
-        if self._prepared_for is mapper:
-            return
-        from ..ops.hashtable import pack_index, pack_index_kv
-
-        packed = pack_index_kv(mapper.indexer)
-        if packed is None:  # panel exceeds the KV payload bit budget
-            packed = pack_index(mapper.indexer)
-        self.use_packed(packed)
-        self._prepared_for = mapper
-        log.info(
-            "device index ready: %d buckets, %.1f MB%s",
-            self._packed.n_buckets,
-            self._packed.nbytes / 1e6,
-            " (kv rows)" if self._kv else "",
-        )
-
     # ------------- public API: object streams -------------
 
     def scan_pairs(self, mapper, pairs: Iterable) -> None:
@@ -210,14 +223,21 @@ class TpuEngine:
 
     def scan_pair_block(self, mapper, block) -> None:
         """block: io.fastq_block.PairBlock."""
-        self._prepare(mapper)
+        self.scan_pair_block_multi([mapper], block)
+
+    def scan_pair_block_multi(self, mappers: List, block) -> None:
+        """Scan one pair block against MANY panels: per batch, one
+        pack/upload/merge (panel-independent) fans out into per-panel
+        pass1/pass2/assembly contexts (fusion_scan.rs:62-188 analog)."""
+        for m in mappers:
+            self._prepare(m)
         n = len(block)
         lb, rb = block.left, block.right
         for s in range(0, n, self.batch_size):
             e = min(n, s + self.batch_size)
             sl = slice(s, e)
             self._scan_pair_matrices(
-                mapper,
+                mappers,
                 lb.seq[sl],
                 lb.qual[sl],
                 lb.lens[sl],
@@ -254,7 +274,7 @@ class TpuEngine:
         b2, l2 = _tokenize_bytes([p.right.seq.encode("latin-1") for p in pairs], Lr)
         q2, _ = _tokenize_bytes([p.right.quality.encode("latin-1") for p in pairs], Lr)
         self._scan_pair_matrices(
-            mapper,
+            [mapper],
             b1,
             q1,
             l1,
@@ -272,20 +292,31 @@ class TpuEngine:
     # ------------- core batch processing -------------
 
     def _scan_pair_matrices(
-        self, mapper, b1, q1, l1, b2, q2, l2, pair_obj: Callable
+        self, mappers: List, b1, q1, l1, b2, q2, l2, pair_obj: Callable
     ) -> None:
         """Staged pipeline: merge -> compacted pass1 (merged lane + R1/R2
         lanes separately; merged pairs never pay the R lanes) -> combined
         pass2 -> assembly. Stages of successive batches are interleaved so
         fetches overlap younger batches' device work; engine.flush drains."""
-        ctx = self._st0_issue_merge(mapper, b1, q1, l1, b2, q2, l2, pair_obj)
-        self._queue.append(ctx)
+        shared = self._st0_issue_merge(mappers, b1, q1, l1, b2, q2, l2, pair_obj)
+        for j, m in enumerate(mappers):
+            self._queue.append(
+                dict(
+                    stage=0,
+                    mapper=m,
+                    tbl=self._table_entry(m),
+                    shared=shared,
+                    count_progress=(j == len(mappers) - 1),
+                )
+            )
         # advance older batches one stage each (oldest first)
-        for c in list(self._queue[:-1]):
+        n_new = len(mappers)
+        for c in list(self._queue[:-n_new]):
             self._advance(c)
         while self._queue and self._queue[0]["stage"] >= 3:
             self._queue.pop(0)
-        while len(self._queue) > 4:
+        depth = 4 * max(1, n_new)
+        while len(self._queue) > depth:
             c = self._queue.pop(0)
             while c["stage"] < 3:
                 self._advance(c)
@@ -296,11 +327,9 @@ class TpuEngine:
             while c["stage"] < 3:
                 self._advance(c)
 
-    # ---- stage 0: pack, upload, issue merge ----
+    # ---- stage 0: pack, upload, issue merge (panel-independent) ----
 
-    def _st0_issue_merge(self, mapper, b1, q1, l1, b2, q2, l2, pair_obj):
-        import jax.numpy as jnp
-
+    def _st0_issue_merge(self, mappers, b1, q1, l1, b2, q2, l2, pair_obj):
         from ..core.read import SequenceReadPair
         from ..ops.fused import fused_merge_chunked
         from ..ops.pack import SEQ4_LUT, has_exotic, pack_q2, pack_seq4, qual_class
@@ -314,7 +343,8 @@ class TpuEngine:
 
             for i in np.nonzero(exotic)[0].tolist():
                 lr = pair_obj(int(i))
-                scan_one_pair(mapper, SequenceReadPair(lr[0], lr[1]))
+                for m in mappers:
+                    scan_one_pair(m, SequenceReadPair(lr[0], lr[1]))
             l1[exotic] = 0
             l2[exotic] = 0
 
@@ -366,8 +396,6 @@ class TpuEngine:
             buf_d, self._put_batch(lens2), L, chunk
         )
         return dict(
-            stage=0,
-            mapper=mapper,
             msum_d=msum_d,
             m_codes_d=m_codes_d,
             buf_d=buf_d,
@@ -376,6 +404,8 @@ class TpuEngine:
             L=L,
             pair_obj=pair_obj,
             orig_B=orig_B,
+            fetched=False,  # merge summary + work arrays, computed once
+            merged_read_cache={},
         )
 
     def _advance(self, c) -> None:
@@ -386,98 +416,111 @@ class TpuEngine:
         elif c["stage"] == 2:
             self._st3_assemble(c)
 
-    # ---- stage 1: fetch merge summary, issue compacted pass1 ----
-
-    def _st1_issue_pass1(self, c) -> None:
-        import jax.numpy as jnp
-
-        from ..ops.fused import pass1_rows_merged, pass1_rows_packed
-
-        st = self.settings
-        M = np.asarray(c["msum_d"])  # one fetch
+    def _fetch_merge(self, sh: dict) -> None:
+        """Fetch the merge summary and derive the (panel-independent)
+        compaction work arrays, once per physical batch."""
+        if sh["fetched"]:
+            return
+        M = np.asarray(sh["msum_d"])  # one fetch
         merged = M[:, 0].astype(bool)
-        c["m_diff"] = M[:, 1]
-        c["m_len"] = M[:, 2]
-        c["merged"] = merged
+        sh["m_diff"] = M[:, 1]
+        sh["m_len"] = M[:, 2]
+        sh["merged"] = merged
         rows_m = np.nonzero(merged)[0]
         # unmerged pairs with at least one live read map both lanes (a dead
         # lane is len-0 and gated on device); padded/exotic rows have both 0
-        uidx = np.nonzero(~merged & ((c["l1"] > 0) | (c["l2"] > 0)))[0]
-        c["rows_m"] = rows_m
-        c["uidx"] = uidx
-        c["pm_d"] = None
-        c["pr_d"] = None
-        common = (self._keys, self._vals, self._dupes)
+        uidx = np.nonzero(~merged & ((sh["l1"] > 0) | (sh["l2"] > 0)))[0]
+        sh["rows_m"] = rows_m
+        sh["uidx"] = uidx
         if len(rows_m):
             pb = self._pad_rows(len(rows_m))
             mi = np.zeros(pb, np.int32)
             ml = np.zeros(pb, np.int32)
             mi[: len(rows_m)] = rows_m
-            ml[: len(rows_m)] = c["m_len"][rows_m]
+            ml[: len(rows_m)] = sh["m_len"][rows_m]
             # length bucketing: trim the scan width to the batch's max
             # merged length, rounded up to bound compiled-shape variants
-            width = _round_up(max(KMER, int(ml.max())), 32)
-            c["pm_d"] = pass1_rows_merged(
-                c["m_codes_d"],
-                self._put_repl(mi),
-                self._put_repl(ml),
-                *common,
-                L2=2 * c["L"],
-                major_req=st.major_gene_key_requirement,
-                minor_req=st.minor_gene_key_requirement,
-                width=width,
-                **self._tbl_statics,
-            )
+            sh["m_width"] = _round_up(max(KMER, int(ml.max())), 32)
+            sh["mi_d"] = self._put_repl(mi)
+            sh["ml_d"] = self._put_repl(ml)
         if len(uidx):
             n_r = 2 * len(uidx)
             pb = self._pad_rows(n_r)
             rwork = np.zeros((pb, 3), np.int32)
             rwork[: len(uidx), 0] = uidx
             rwork[: len(uidx), 1] = 1
-            rwork[: len(uidx), 2] = c["l1"][uidx]
+            rwork[: len(uidx), 2] = sh["l1"][uidx]
             rwork[len(uidx) : n_r, 0] = uidx
             rwork[len(uidx) : n_r, 1] = 2
-            rwork[len(uidx) : n_r, 2] = c["l2"][uidx]
-            c["rwork"] = rwork
-            c["n_r"] = n_r
-            c["pr_d"] = pass1_rows_packed(
-                c["buf_d"],
-                self._put_repl(rwork),
+            rwork[len(uidx) : n_r, 2] = sh["l2"][uidx]
+            sh["rwork"] = rwork
+            sh["n_r"] = n_r
+            sh["rwork_d"] = self._put_repl(rwork)
+        sh["fetched"] = True
+
+    # ---- stage 1: fetch merge summary, issue compacted pass1 ----
+
+    def _st1_issue_pass1(self, c) -> None:
+        from ..ops.fused import pass1_rows_merged, pass1_rows_packed
+
+        st = self.settings
+        sh = c["shared"]
+        self._fetch_merge(sh)
+        tbl = c["tbl"]
+        c["pm_d"] = None
+        c["pr_d"] = None
+        common = (tbl["keys"], tbl["vals"], tbl["dupes"])
+        if len(sh["rows_m"]):
+            c["pm_d"] = pass1_rows_merged(
+                sh["m_codes_d"],
+                sh["mi_d"],
+                sh["ml_d"],
                 *common,
-                L=c["L"],
+                L2=2 * sh["L"],
                 major_req=st.major_gene_key_requirement,
                 minor_req=st.minor_gene_key_requirement,
-                **self._tbl_statics,
+                width=sh["m_width"],
+                **tbl["statics"],
+            )
+        if len(sh["uidx"]):
+            c["pr_d"] = pass1_rows_packed(
+                sh["buf_d"],
+                sh["rwork_d"],
+                *common,
+                L=sh["L"],
+                major_req=st.major_gene_key_requirement,
+                minor_req=st.minor_gene_key_requirement,
+                **tbl["statics"],
             )
         c["stage"] = 1
 
     # ---- stage 2: fetch pass1, issue combined pass2 for survivors ----
 
     def _st2_issue_pass2(self, c) -> None:
-        import jax.numpy as jnp
-
         from ..ops.fused import fused_pass2_combined
 
         st = self.settings
+        sh = c["shared"]
+        tbl = c["tbl"]
         idx_list = []
         lane_list = []
         lens_list = []
         gps_list = []
         if c["pm_d"] is not None:
             P = np.asarray(c["pm_d"])  # (pb, 5)
-            k = len(c["rows_m"])
+            k = len(sh["rows_m"])
             ok = P[:k, 0].astype(bool)
             sel = np.nonzero(ok)[0]
-            idx_list.append(c["rows_m"][sel])
+            idx_list.append(sh["rows_m"][sel])
             lane_list.append(np.zeros(len(sel), np.int32))
-            lens_list.append(c["m_len"][c["rows_m"][sel]])
+            lens_list.append(sh["m_len"][sh["rows_m"][sel]])
             gps_list.append(P[sel, 1:5])
         if c["pr_d"] is not None:
             P = np.asarray(c["pr_d"])
-            k = c["n_r"]
+            k = sh["n_r"]
             ok = P[:k, 0].astype(bool)
             sel = np.nonzero(ok)[0]
-            rw = c["rwork"]
+            rw = sh["rwork"]
             idx_list.append(rw[sel, 0])
             lane_list.append(rw[sel, 1])
             lens_list.append(rw[sel, 2])
@@ -499,15 +542,15 @@ class TpuEngine:
             c["surv_lane"] = lane_arr
             c["n_surv"] = n_surv
             c["out_d"] = fused_pass2_combined(
-                c["m_codes_d"],
-                c["buf_d"],
+                sh["m_codes_d"],
+                sh["buf_d"],
                 self._put_repl(work),
-                self._keys,
-                self._vals,
-                self._dupes,
-                L=c["L"],
+                tbl["keys"],
+                tbl["vals"],
+                tbl["dupes"],
+                L=sh["L"],
                 mismatch_thr=st.mismatch_threshold,
-                **self._tbl_statics,
+                **tbl["statics"],
             )
         c["stage"] = 2
 
@@ -515,10 +558,12 @@ class TpuEngine:
 
     def _st3_assemble(self, c) -> None:
         from ..core.read import SequenceReadPair
+        from .ed_batch import EdBatcher
 
         mapper = c["mapper"]
-        pair_obj = c["pair_obj"]
-        merged_read_cache = {}
+        sh = c["shared"]
+        pair_obj = sh["pair_obj"]
+        merged_read_cache = sh["merged_read_cache"]
 
         def merged_read(i: int) -> SequenceRead:
             if i not in merged_read_cache:
@@ -533,8 +578,6 @@ class TpuEngine:
                 return merged_read(i)
             lr = pair_obj(i)
             return lr[0] if lane == 1 else lr[1]
-
-        from .ed_batch import EdBatcher
 
         ed = EdBatcher()
         retry: List[Tuple[int, int, SequenceRead]] = []
@@ -561,19 +604,20 @@ class TpuEngine:
                 else:
                     retry.append((i, lane, read_for(i, lane).reverse_complement()))
         if retry:
-            self._retry(mapper, retry, lambda i: list(pair_obj(i)), ed)
+            self._retry(mapper, c["tbl"], retry, lambda i: list(pair_obj(i)), ed)
         ed.flush()
-        self._progress(c["orig_B"])
+        if c["count_progress"]:
+            self._progress(sh["orig_B"])
         c["stage"] = 3
 
-    def _retry(self, mapper, retry, originals_fn, ed_batcher=None) -> None:
+    def _retry(self, mapper, tbl, retry, originals_fn, ed_batcher=None) -> None:
         """RC retry for direction-rejected reads (tiny batch).
         retry: [(key, lane, rc_read)]; originals_fn(key) -> original reads."""
         Lr2 = _round_up(max(KMER, max(len(r.seq) for _, _, r in retry)), 32)
         rrows, rlens = _tokenize_bytes(
             [r.seq.encode("latin-1") for _, _, r in retry], Lr2
         )
-        sv, ss, se, sc, sp = self._run_map(rrows, rlens)
+        sv, ss, se, sc, sp = self._run_map(rrows, rlens, tbl)
         for k, (key, lane, rc_read) in enumerate(retry):
             if not (sv[k, 0] and sv[k, 1]):
                 continue
@@ -613,11 +657,9 @@ class TpuEngine:
 
     # ------------- map + assemble -------------
 
-    def _run_map(self, rows: np.ndarray, lens: np.ndarray):
+    def _run_map(self, rows: np.ndarray, lens: np.ndarray, tbl: dict):
         """Two-phase map: vote gate on every read, mask/segments only on the
         compacted survivors (identical results to the fused kernel)."""
-        import jax.numpy as jnp
-
         from ..ops.map_read import map_read_pass1, map_read_pass2
 
         codes = BASE_CODE_LUT[rows]
@@ -626,12 +668,12 @@ class TpuEngine:
         ok, h1, l1, h2, l2 = map_read_pass1(
             self._put_batch(codes),
             self._put_batch(lens),
-            self._keys,
-            self._vals,
-            self._dupes,
+            tbl["keys"],
+            tbl["vals"],
+            tbl["dupes"],
             major_req=st.major_gene_key_requirement,
             minor_req=st.minor_gene_key_requirement,
-            **self._tbl_statics,
+            **tbl["statics"],
         )
         ok = np.asarray(ok)
         sv = np.zeros((n, 2), bool)
@@ -653,11 +695,11 @@ class TpuEngine:
             self._put_batch(l1[idx]),
             self._put_batch(h2[idx]),
             self._put_batch(l2[idx]),
-            self._keys,
-            self._vals,
-            self._dupes,
+            tbl["keys"],
+            tbl["vals"],
+            tbl["dupes"],
             mismatch_thr=st.mismatch_threshold,
-            **self._tbl_statics,
+            **tbl["statics"],
         )
         k = len(surv)
         sv[surv] = np.asarray(res.seg_valid)[:k]
@@ -675,7 +717,8 @@ class TpuEngine:
         from .ed_batch import EdBatcher
 
         ed = EdBatcher()
-        sv, ss, se, sc, sp = self._run_map(rows, lens)
+        tbl = self._table_entry(mapper)
+        sv, ss, se, sc, sp = self._run_map(rows, lens, tbl)
         hits = np.nonzero(sv[:, 0] & sv[:, 1])[0]
         retry: List[Tuple[int, SequenceRead]] = []
         for j in hits.tolist():
@@ -696,6 +739,7 @@ class TpuEngine:
         if retry:
             self._retry(
                 mapper,
+                tbl,
                 [(j, int(meta_lane[j]), rc) for j, rc in retry],
                 lambda j: originals(j),
                 ed,

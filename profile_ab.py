@@ -118,39 +118,41 @@ def main():
         minor_req=st.minor_gene_key_requirement,
     )
 
+    # tables are fori ARGS, never closure constants (a closed-over table
+    # is embedded in the compile request -> tunnel HTTP 413)
     fori_time(
         "split @ width290",
-        lambda mc, i, l: pass1_rows_merged(
-            mc, i, l, sp_keys, sp_vals, sp_dupes,
+        lambda mc, i, l, k, v, d: pass1_rows_merged(
+            mc, i, l, k, v, d,
             shift=split.shift, max_dupe=split.max_dupe, **common,
         ),
-        it, m_codes, mi, ml, roll_arg=1,
+        it, m_codes, mi, ml, sp_keys, sp_vals, sp_dupes, roll_arg=1,
     )
     fori_time(
         "kv    @ width290",
-        lambda mc, i, l: pass1_rows_merged(
-            mc, i, l, kv_keys, dummy, kv_dupes,
+        lambda mc, i, l, k, v, d: pass1_rows_merged(
+            mc, i, l, k, v, d,
             shift=kvp.shift, max_dupe=kvp.max_dupe, kv=True,
             cbits=kvp.cbits, pos_bias=kvp.pos_bias, **common,
         ),
-        it, m_codes, mi, ml, roll_arg=1,
+        it, m_codes, mi, ml, kv_keys, dummy, kv_dupes, roll_arg=1,
     )
     fori_time(
         "kv    @ width192",
-        lambda mc, i, l: pass1_rows_merged(
-            mc, i, l, kv_keys, dummy, kv_dupes,
+        lambda mc, i, l, k, v, d: pass1_rows_merged(
+            mc, i, l, k, v, d,
             shift=kvp.shift, max_dupe=kvp.max_dupe, kv=True,
             cbits=kvp.cbits, pos_bias=kvp.pos_bias, width=192, **common,
         ),
-        it, m_codes, mi, ml, roll_arg=1,
+        it, m_codes, mi, ml, kv_keys, dummy, kv_dupes, roll_arg=1,
     )
     fori_time(
         "split @ width192",
-        lambda mc, i, l: pass1_rows_merged(
-            mc, i, l, sp_keys, sp_vals, sp_dupes,
+        lambda mc, i, l, k, v, d: pass1_rows_merged(
+            mc, i, l, k, v, d,
             shift=split.shift, max_dupe=split.max_dupe, width=192, **common,
         ),
-        it, m_codes, mi, ml, roll_arg=1,
+        it, m_codes, mi, ml, sp_keys, sp_vals, sp_dupes, roll_arg=1,
     )
 
 

@@ -113,3 +113,16 @@ def test_multi_csv_driver_device_engine(tmp_path, monkeypatch, capsys):
     assert len(j1["fusions"]) == 1 and len(j2["fusions"]) == 1
     out = capsys.readouterr().out
     assert "#Fusion:" not in out  # multi-CSV suppresses stdout blocks
+    # the shared-batch multi-CSV path must equal per-CSV single scans
+    cfg_single = RunConfig(
+        r1_file=r1,
+        r2_file=r2,
+        fusion_file=str(csv_path),
+        html="",
+        json=str(tmp_path / "single.json"),
+        ref_file=fa,
+        engine="tpu",
+    )
+    genefuse(cfg_single)
+    js = jsonlib.loads((tmp_path / "single.json").read_text())
+    assert js["fusions"] == j1["fusions"] == j2["fusions"]
