@@ -69,9 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--engine",
-        choices=["tpu", "host"],
+        choices=["tpu", "host", "sharded-index"],
         default="tpu",
-        help="compute engine: batched TPU/JAX pipeline (default) or scalar host oracle",
+        help="compute engine: batched TPU/JAX pipeline (default), scalar "
+        "host oracle, or the contig-sharded index path for panels whose "
+        "k-mer tables exceed one chip's HBM (shards over --mesh devices)",
     )
     p.add_argument(
         "--index-cache",

@@ -64,6 +64,15 @@ def make_engine(kind: str, settings: Settings, mesh: str = "auto"):
         from .core.scanner import HostEngine
 
         return HostEngine()
+    if kind == "sharded-index":
+        # contig-sharded index for panels beyond one chip's HBM
+        import jax
+
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded_engine import ShardedIndexEngine
+
+        m = _resolve_mesh(mesh) or make_mesh(jax.devices()[:1], axis="shard")
+        return ShardedIndexEngine(settings, mesh=m)
     from .parallel.engine import TpuEngine
 
     return TpuEngine(settings, mesh=_resolve_mesh(mesh))

@@ -66,6 +66,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gf_pack_table.argtypes = [
         p(ctypes.c_uint32), p(i32), p(i32), i64, p(i32), i64, i32, i32,
     ]
+    u8 = ctypes.c_uint8
+    lib.gf_pack_pe_batch.restype = None
+    lib.gf_pack_pe_batch.argtypes = [
+        p(u8), p(u8), p(u8), p(u8), p(i32), p(i32),
+        i64, i64, i64, i64, p(u8), p(u8),
+    ]
     _lib = lib
     return _lib
 
@@ -143,3 +149,28 @@ def pack_table(
     if failed:
         return None
     return table
+
+
+def pack_pe_batch(b1, q1, b2, q2, l1, l2, L: int, out_rows: int):
+    """Pack a PE batch into the upload layout (ops/pack.py formats) in one
+    native pass. -> (buf (out_rows, W) uint8, exotic (B,) bool) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    B, Lin = b1.shape
+    w2 = (L + 1) // 2
+    w4 = (L + 3) // 4
+    W = 2 * w2 + 2 * w4
+    out = np.empty((out_rows, W), np.uint8)
+    exotic = np.zeros(B, np.uint8)
+    u8 = ctypes.c_uint8
+    i32 = ctypes.c_int32
+    args = [np.ascontiguousarray(x, np.uint8) for x in (b1, q1, b2, q2)]
+    l1c = np.ascontiguousarray(l1, np.int32)
+    l2c = np.ascontiguousarray(l2, np.int32)
+    lib.gf_pack_pe_batch(
+        _ptr(args[0], u8), _ptr(args[1], u8), _ptr(args[2], u8),
+        _ptr(args[3], u8), _ptr(l1c, i32), _ptr(l2c, i32),
+        B, Lin, L, out_rows, _ptr(out, u8), _ptr(exotic, u8),
+    )
+    return out, exotic.astype(bool)

@@ -29,9 +29,15 @@ def _round_up(n: int, m: int) -> int:
 
 
 class EdBatcher:
-    """Collects edit-distance jobs; flush() evaluates them batched."""
+    """Collects edit-distance jobs; flush() evaluates them batched.
 
-    def __init__(self):
+    Below `min_device_jobs` the host Myers runs instead: a device dispatch
+    costs a full tunnel round trip (~0.5s in the dev environment) plus a
+    one-time shape compile, which only amortizes on fusion-rich batches
+    (thousands of matches). Typical batches carry a few dozen jobs."""
+
+    def __init__(self, min_device_jobs: int = 512):
+        self.min_device_jobs = min_device_jobs
         self._jobs: List[Tuple[str, str, Callable[[int], None]]] = []
 
     def submit(self, query: str, ref: str, setter: Callable[[int], None]) -> None:
@@ -44,6 +50,10 @@ class EdBatcher:
         if not self._jobs:
             return
         jobs, self._jobs = self._jobs, []
+        if len(jobs) < self.min_device_jobs:
+            for q, r, setter in jobs:
+                setter(edit_distance(q, r))
+            return
         device_jobs = []
         for q, r, setter in jobs:
             if not q or not r:

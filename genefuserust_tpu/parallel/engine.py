@@ -47,6 +47,39 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+class _Fetch:
+    """Background device->host fetch: starts a transfer thread at kernel
+    issue time so stage advancement consumes an already-landed numpy array
+    — critical when dispatch round trips are slow (remote/tunneled
+    devices), harmless otherwise. PJRT transfers are thread-safe."""
+
+    __slots__ = ("_arr", "_out", "_thread")
+
+    def __init__(self, arr):
+        import threading
+
+        self._arr = arr
+        self._out = None
+        if arr is None:
+            self._thread = None
+            return
+        try:
+            arr.copy_to_host_async()  # hint where supported
+        except Exception:
+            pass
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        self._out = np.asarray(self._arr)
+
+    def get(self):
+        if self._thread is None:
+            return None
+        self._thread.join()
+        return self._out
+
+
 def _tokenize_bytes(strings: List[bytes], L: int) -> Tuple[np.ndarray, np.ndarray]:
     arr = np.zeros((len(strings), L), np.uint8)
     lens = np.zeros(len(strings), np.int32)
@@ -330,14 +363,73 @@ class TpuEngine:
     # ---- stage 0: pack, upload, issue merge (panel-independent) ----
 
     def _st0_issue_merge(self, mappers, b1, q1, l1, b2, q2, l2, pair_obj):
+        from .. import native
         from ..core.read import SequenceReadPair
         from ..ops.fused import fused_merge_chunked
-        from ..ops.pack import SEQ4_LUT, has_exotic, pack_q2, pack_seq4, qual_class
 
         l1 = np.asarray(l1, np.int32).copy()
         l2 = np.asarray(l2, np.int32).copy()
+        B = b1.shape[0]
+        orig_B = B
+        # R1/R2 blocks may have different widths (independently parsed
+        # files); all kernels slice the packed buffer with offsets from ONE
+        # width, so pad both sides to a common L (floor 32 also guards the
+        # MIN_OVERLAP/KMER loops against all-short batches)
+        L = _round_up(max(32, b1.shape[1], b2.shape[1]), 32)
+        # pad rows to a power of two: bounds compiled shape variants
+        padB = 16
+        while padB < B:
+            padB *= 2
+        chunk = max(1, min(2048, padB // self._n_dev))
+
+        if b1.shape[1] != b2.shape[1]:
+            Lin = max(b1.shape[1], b2.shape[1])
+
+            def padw_in(a):
+                if a.shape[1] == Lin:
+                    return a
+                out = np.zeros((a.shape[0], Lin), a.dtype)
+                out[:, : a.shape[1]] = a
+                return out
+
+            b1, q1, b2, q2 = padw_in(b1), padw_in(q1), padw_in(b2), padw_in(q2)
+        nat = native.pack_pe_batch(b1, q1, b2, q2, l1, l2, L, padB)
+        if nat is not None:
+            buf, exotic = nat
+        else:  # numpy fallback (byte-identical; see native.py)
+            from ..ops.pack import (
+                SEQ4_LUT, has_exotic, pack_q2, pack_seq4, qual_class,
+            )
+
+            exotic = has_exotic(b1, l1) | has_exotic(b2, l2)
+
+            def padw(a):
+                if a.shape[1] == L:
+                    return a
+                out = np.zeros((a.shape[0], L), a.dtype)
+                out[:, : a.shape[1]] = a
+                return out
+
+            pb1, pq1, pb2, pq2 = padw(b1), padw(q1), padw(b2), padw(q2)
+            if padB != B:
+                padrows = padB - B
+
+                def padm(a):
+                    return np.concatenate(
+                        [a, np.zeros((padrows,) + a.shape[1:], a.dtype)], axis=0
+                    )
+
+                pb1, pq1, pb2, pq2 = padm(pb1), padm(pq1), padm(pb2), padm(pq2)
+            buf = np.concatenate(
+                [
+                    pack_seq4(SEQ4_LUT[pb1]),
+                    pack_q2(qual_class(pq1)),
+                    pack_seq4(SEQ4_LUT[pb2]),
+                    pack_q2(qual_class(pq2)),
+                ],
+                axis=1,
+            )
         # reads with bytes outside ACGTNacgtn go through the scalar oracle
-        exotic = has_exotic(b1, l1) | has_exotic(b2, l2)
         if exotic.any():
             from ..core.scanner import scan_one_pair
 
@@ -347,56 +439,16 @@ class TpuEngine:
                     scan_one_pair(m, SequenceReadPair(lr[0], lr[1]))
             l1[exotic] = 0
             l2[exotic] = 0
-
-        B = b1.shape[0]
-        orig_B = B
-        # R1/R2 blocks may have different widths (independently parsed
-        # files); all kernels slice the packed buffer with offsets from ONE
-        # width, so pad both sides to a common L (floor 32 also guards the
-        # MIN_OVERLAP/KMER loops against all-short batches)
-        L = _round_up(max(32, b1.shape[1], b2.shape[1]), 32)
-
-        def padw(a):
-            if a.shape[1] == L:
-                return a
-            out = np.zeros((a.shape[0], L), a.dtype)
-            out[:, : a.shape[1]] = a
-            return out
-
-        b1, q1, b2, q2 = padw(b1), padw(q1), padw(b2), padw(q2)
-        # pad rows to a power of two: bounds compiled shape variants
-        padB = 16
-        while padB < B:
-            padB *= 2
-        chunk = max(1, min(2048, padB // self._n_dev))
         if padB != B:
-            padrows = padB - B
-
-            def padm(a):
-                return np.concatenate(
-                    [a, np.zeros((padrows,) + a.shape[1:], a.dtype)], axis=0
-                )
-
-            b1, q1, b2, q2 = padm(b1), padm(q1), padm(b2), padm(q2)
-            l1 = np.concatenate([l1, np.zeros(padrows, np.int32)])
-            l2 = np.concatenate([l2, np.zeros(padrows, np.int32)])
-            B = padB
-        buf = np.concatenate(
-            [
-                pack_seq4(SEQ4_LUT[b1]),
-                pack_q2(qual_class(q1)),
-                pack_seq4(SEQ4_LUT[b2]),
-                pack_q2(qual_class(q2)),
-            ],
-            axis=1,
-        )
+            l1 = np.concatenate([l1, np.zeros(padB - B, np.int32)])
+            l2 = np.concatenate([l2, np.zeros(padB - B, np.int32)])
         lens2 = np.stack([l1, l2], axis=1).astype(np.int32)
         buf_d = self._put_batch(buf)
         msum_d, m_codes_d = fused_merge_chunked(
             buf_d, self._put_batch(lens2), L, chunk
         )
         return dict(
-            msum_d=msum_d,
+            msum_f=_Fetch(msum_d),
             m_codes_d=m_codes_d,
             buf_d=buf_d,
             l1=l1,
@@ -421,7 +473,7 @@ class TpuEngine:
         compaction work arrays, once per physical batch."""
         if sh["fetched"]:
             return
-        M = np.asarray(sh["msum_d"])  # one fetch
+        M = sh["msum_f"].get()  # transfer overlapped since stage 0
         merged = M[:, 0].astype(bool)
         sh["m_diff"] = M[:, 1]
         sh["m_len"] = M[:, 2]
@@ -492,6 +544,8 @@ class TpuEngine:
                 minor_req=st.minor_gene_key_requirement,
                 **tbl["statics"],
             )
+        c["pm_f"] = _Fetch(c["pm_d"])
+        c["pr_f"] = _Fetch(c["pr_d"])
         c["stage"] = 1
 
     # ---- stage 2: fetch pass1, issue combined pass2 for survivors ----
@@ -507,7 +561,7 @@ class TpuEngine:
         lens_list = []
         gps_list = []
         if c["pm_d"] is not None:
-            P = np.asarray(c["pm_d"])  # (pb, 5)
+            P = c["pm_f"].get()  # (pb, 5)
             k = len(sh["rows_m"])
             ok = P[:k, 0].astype(bool)
             sel = np.nonzero(ok)[0]
@@ -516,7 +570,7 @@ class TpuEngine:
             lens_list.append(sh["m_len"][sh["rows_m"][sel]])
             gps_list.append(P[sel, 1:5])
         if c["pr_d"] is not None:
-            P = np.asarray(c["pr_d"])
+            P = c["pr_f"].get()
             k = sh["n_r"]
             ok = P[:k, 0].astype(bool)
             sel = np.nonzero(ok)[0]
@@ -552,6 +606,7 @@ class TpuEngine:
                 mismatch_thr=st.mismatch_threshold,
                 **tbl["statics"],
             )
+        c["out_f"] = _Fetch(c["out_d"])
         c["stage"] = 2
 
     # ---- stage 3: fetch pass2, assemble matches ----
@@ -582,7 +637,7 @@ class TpuEngine:
         ed = EdBatcher()
         retry: List[Tuple[int, int, SequenceRead]] = []
         if c["out_d"] is not None:
-            out = np.asarray(c["out_d"])  # (pb, 10)
+            out = c["out_f"].get()  # (pb, 10)
             for k in range(c["n_surv"]):
                 if not (out[k, 0] and out[k, 1]):
                     continue

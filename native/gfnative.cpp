@@ -159,4 +159,73 @@ void gf_encode_bases(const uint8_t* bytes, int64_t n, uint8_t* out) {
   for (int64_t i = 0; i < n; ++i) out[i] = lut[bytes[i]];
 }
 
+
+// Pack a paired-end read batch into the device upload layout
+// [s1p(w2) | q1p(w4) | s2p(w2) | q2p(w4)] per row, where w2=(L+1)/2 4-bit
+// sequence codes (0..3=ACGT, 4=N, 5..8=acgt, 9=n, 15=other/padding) and
+// w4=(L+3)/4 2-bit quality classes (0 low<=Q15, 1 mid, 2 high>=Q30) —
+// exactly genefuserust_tpu/ops/pack.py. Rows B..outB and columns
+// Lin..L replicate the numpy zero-padding semantics (pad bytes are value
+// 0 -> seq code 15, qual class 0). exotic[r]=1 when any byte within the
+// read span falls outside ACGTNacgtn (host-oracle routing).
+void gf_pack_pe_batch(const uint8_t* b1, const uint8_t* q1,
+                      const uint8_t* b2, const uint8_t* q2,
+                      const int32_t* l1, const int32_t* l2,
+                      int64_t B, int64_t Lin, int64_t L, int64_t outB,
+                      uint8_t* out, uint8_t* exotic) {
+  static uint8_t seq4[256];
+  static uint8_t okb[256];
+  static bool init = false;
+  if (!init) {
+    memset(seq4, 15, 256);
+    seq4[(int)'A'] = 0; seq4[(int)'T'] = 1; seq4[(int)'C'] = 2;
+    seq4[(int)'G'] = 3; seq4[(int)'N'] = 4;
+    seq4[(int)'a'] = 5; seq4[(int)'t'] = 6; seq4[(int)'c'] = 7;
+    seq4[(int)'g'] = 8; seq4[(int)'n'] = 9;
+    memset(okb, 0, 256);
+    const char* okc = "ACGTNacgtn";
+    for (const char* p = okc; *p; ++p) okb[(int)*p] = 1;
+    init = true;
+  }
+  const int64_t w2 = (L + 1) / 2, w4 = (L + 3) / 4;
+  const int64_t W = 2 * w2 + 2 * w4;
+  auto pack_side = [&](const uint8_t* s, const uint8_t* q, int64_t len,
+                       uint8_t* os, uint8_t* oq, uint8_t* ex) {
+    for (int64_t i = 0; i < w2; ++i) {
+      int64_t j0 = 2 * i, j1 = 2 * i + 1;
+      uint8_t c0 = (j0 < Lin) ? seq4[s[j0]] : 15;
+      uint8_t c1 = (j1 < Lin) ? seq4[s[j1]] : 15;
+      os[i] = (uint8_t)(c0 | (c1 << 4));
+    }
+    for (int64_t i = 0; i < w4; ++i) {
+      uint8_t b = 0;
+      for (int k = 0; k < 4; ++k) {
+        int64_t j = 4 * i + k;
+        uint8_t qb = (j < Lin) ? q[j] : 0;
+        uint8_t qc = (qb >= (uint8_t)'?') ? 2 : ((qb <= (uint8_t)'0') ? 0 : 1);
+        b |= (uint8_t)(qc << (2 * k));
+      }
+      oq[i] = b;
+    }
+    for (int64_t i = 0; i < len && i < Lin; ++i)
+      if (!okb[s[i]]) { *ex = 1; break; }
+  };
+  for (int64_t r = 0; r < B; ++r) {
+    uint8_t* o = out + r * W;
+    uint8_t ex = 0;
+    pack_side(b1 + r * Lin, q1 + r * Lin, l1[r], o, o + w2, &ex);
+    pack_side(b2 + r * Lin, q2 + r * Lin, l2[r], o + w2 + w4,
+              o + 2 * w2 + w4, &ex);
+    exotic[r] = ex;
+  }
+  // padded rows: zero input bytes -> seq nibbles 15, qual classes 0
+  for (int64_t r = B; r < outB; ++r) {
+    uint8_t* o = out + r * W;
+    memset(o, 0xFF, (size_t)w2);
+    memset(o + w2, 0x00, (size_t)w4);
+    memset(o + w2 + w4, 0xFF, (size_t)w2);
+    memset(o + 2 * w2 + w4, 0x00, (size_t)w4);
+  }
+}
+
 }  // extern "C"
