@@ -53,21 +53,21 @@ def _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L):
     Gather-free overlap scan: with s1/qc1 RIGHT-aligned (s1r[L-l1+j] =
     s1[j]) and RC(R2) LEFT-aligned (t2l[i] = rc2f[L-l2+i]), the overlap
     comparison at length o is s1r[L-o+i] vs t2l[i] — a STATIC slice per o,
-    so the O-loop is pure vector compares. Only the two re-alignments and
-    the merged-read construction use (fast flat) row_take gathers."""
-    from .gather import row_take
+    so the O-loop is pure vector compares. The re-alignments and the
+    merged-read construction are per-row SHIFTS, composed from log2(L)
+    static-slice shifts (row_shift_*) — zero gathers anywhere."""
+    from .gather import row_shift_left, row_shift_right
 
     B = s1.shape[0]
     O = L - MIN_OVERLAP + 1
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     # right-align R1: s1r[c] = s1[c - (L - l1)]
-    s1r = row_take(s1, col - (L - l1)[:, None])
-    s1r = jnp.where(col >= (L - l1)[:, None], s1r, 15)
-    q1r = row_take(qc1, col - (L - l1)[:, None])
+    d1 = L - l1
+    s1r = row_shift_right(s1, d1, 15)
+    q1r = row_shift_right(qc1, d1, 0)
     # left-align RC(R2): t2l[i] = rc2f[(L - l2) + i]
-    t2l = row_take(rc2f, col + (L - l2)[:, None])
-    t2l = jnp.where(col < l2[:, None], t2l, 15)
-    q2l = row_take(qc2f, col + (L - l2)[:, None])
+    d2 = L - l2
+    t2l = row_shift_left(rc2f, d2, 15)
+    q2l = row_shift_left(qc2f, d2, 0)
 
     diffs = []
     lqs = []
@@ -94,12 +94,16 @@ def _merge_codes(s1, qc1, l1, rc2f, qc2f, l2, L):
     out_len = offset + l2
     Lm = 2 * L
     jm = jax.lax.broadcasted_iota(jnp.int32, (B, Lm), 1)
-    im = jm - offset[:, None]  # logical index into RC(R2)
-    # left parts read s1/qc1 directly (left-aligned, static columns)
+    # left parts read s1/qc1 directly (left-aligned, static columns);
+    # RC(R2) parts are t2l shifted right by the merge offset (rows without
+    # a merge get a clipped garbage shift and are overwritten below)
     g1 = jnp.concatenate([s1, jnp.full((B, Lm - L), 15, s1.dtype)], axis=1)
     gq1 = jnp.concatenate([qc1, jnp.zeros((B, Lm - L), qc1.dtype)], axis=1)
-    g2 = row_take(t2l, im)
-    gq2 = row_take(q2l, im)
+    off_c = jnp.clip(offset, 0, Lm)
+    t2x = jnp.concatenate([t2l, jnp.full((B, Lm - L), 15, t2l.dtype)], axis=1)
+    q2x = jnp.concatenate([q2l, jnp.zeros((B, Lm - L), q2l.dtype)], axis=1)
+    g2 = row_shift_right(t2x, off_c, 15)
+    gq2 = row_shift_right(q2x, off_c, 0)
     in_left = jm < offset[:, None]
     in_overlap = (jm >= offset[:, None]) & (jm < l1[:, None])
     in_right = (jm >= l1[:, None]) & (jm < out_len[:, None])
