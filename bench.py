@@ -291,7 +291,7 @@ def run_multi_csv(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--panel-mbp", type=float, default=15.2)
-    ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--pairs", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--read-len", type=int, default=150)

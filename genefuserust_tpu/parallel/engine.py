@@ -102,7 +102,7 @@ class TpuEngine:
     single-device flow, keeping results byte-identical (checked in
     tests/test_mesh_engine.py)."""
 
-    def __init__(self, settings: Settings, batch_size: int = 32768, mesh=None):
+    def __init__(self, settings: Settings, batch_size: int = 65536, mesh=None):
         self.settings = settings
         self.batch_size = batch_size
         self.mesh = mesh
@@ -121,6 +121,14 @@ class TpuEngine:
         self._progress_t0 = None
         self._progress_n = 0
         self._queue = []
+        self._producer = None  # single-worker pack/upload/dispatch thread
+
+    def _submit_producer(self, fn, *args):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._producer is None:
+            self._producer = ThreadPoolExecutor(max_workers=1)
+        return self._producer.submit(fn, *args)
 
     def _put_batch(self, x):
         """Upload a batch-dim array (sharded over the mesh if present)."""
@@ -331,7 +339,16 @@ class TpuEngine:
         lanes separately; merged pairs never pay the R lanes) -> combined
         pass2 -> assembly. Stages of successive batches are interleaved so
         fetches overlap younger batches' device work; engine.flush drains."""
-        shared = self._st0_issue_merge(mappers, b1, q1, l1, b2, q2, l2, pair_obj)
+        shared = dict(
+            fut=self._submit_producer(
+                self._st0_issue_merge, b1, q1, l1, b2, q2, l2
+            ),
+            mappers=list(mappers),
+            pair_obj=pair_obj,
+            orig_B=b1.shape[0],
+            fetched=False,
+            merged_read_cache={},
+        )
         for j, m in enumerate(mappers):
             self._queue.append(
                 dict(
@@ -362,15 +379,18 @@ class TpuEngine:
 
     # ---- stage 0: pack, upload, issue merge (panel-independent) ----
 
-    def _st0_issue_merge(self, mappers, b1, q1, l1, b2, q2, l2, pair_obj):
+    def _st0_issue_merge(self, b1, q1, l1, b2, q2, l2):
+        """Pack + upload + merge dispatch. Runs on the producer thread
+        (device-independent of older batches; JAX dispatch is
+        thread-safe). Exotic rows are packed as-is — their 'other' codes
+        can produce no candidates — and routed to the scalar oracle by
+        _fetch_merge on the main thread."""
         from .. import native
-        from ..core.read import SequenceReadPair
         from ..ops.fused import fused_merge_chunked
 
         l1 = np.asarray(l1, np.int32).copy()
         l2 = np.asarray(l2, np.int32).copy()
         B = b1.shape[0]
-        orig_B = B
         # R1/R2 blocks may have different widths (independently parsed
         # files); all kernels slice the packed buffer with offsets from ONE
         # width, so pad both sides to a common L (floor 32 also guards the
@@ -429,16 +449,6 @@ class TpuEngine:
                 ],
                 axis=1,
             )
-        # reads with bytes outside ACGTNacgtn go through the scalar oracle
-        if exotic.any():
-            from ..core.scanner import scan_one_pair
-
-            for i in np.nonzero(exotic)[0].tolist():
-                lr = pair_obj(int(i))
-                for m in mappers:
-                    scan_one_pair(m, SequenceReadPair(lr[0], lr[1]))
-            l1[exotic] = 0
-            l2[exotic] = 0
         if padB != B:
             l1 = np.concatenate([l1, np.zeros(padB - B, np.int32)])
             l2 = np.concatenate([l2, np.zeros(padB - B, np.int32)])
@@ -453,11 +463,8 @@ class TpuEngine:
             buf_d=buf_d,
             l1=l1,
             l2=l2,
+            exotic=exotic,
             L=L,
-            pair_obj=pair_obj,
-            orig_B=orig_B,
-            fetched=False,  # merge summary + work arrays, computed once
-            merged_read_cache={},
         )
 
     def _advance(self, c) -> None:
@@ -469,12 +476,34 @@ class TpuEngine:
             self._st3_assemble(c)
 
     def _fetch_merge(self, sh: dict) -> None:
-        """Fetch the merge summary and derive the (panel-independent)
-        compaction work arrays, once per physical batch."""
+        """Join the producer thread, fetch the merge summary, route exotic
+        rows to the scalar oracle, and derive the (panel-independent)
+        compaction work arrays — once per physical batch."""
         if sh["fetched"]:
             return
+        sh.update(sh.pop("fut").result())
+        # reads with bytes outside ACGTNacgtn go through the scalar oracle
+        # (here, on the main thread, so match-bin append order stays
+        # deterministic; the sort before clustering removes any remaining
+        # order dependence)
+        exotic = sh["exotic"]
+        if exotic.any():
+            from ..core.read import SequenceReadPair
+            from ..core.scanner import scan_one_pair
+
+            pair_obj = sh["pair_obj"]
+            ex_rows = np.nonzero(exotic)[0]
+            for i in ex_rows.tolist():
+                lr = pair_obj(int(i))
+                for m in sh["mappers"]:
+                    scan_one_pair(m, SequenceReadPair(lr[0], lr[1]))
+            # l1/l2 are padded to padB; index (not bool-mask) the B rows
+            sh["l1"][ex_rows] = 0
+            sh["l2"][ex_rows] = 0
         M = sh["msum_f"].get()  # transfer overlapped since stage 0
+        n_ex = len(exotic)
         merged = M[:, 0].astype(bool)
+        merged[:n_ex] &= ~exotic
         sh["m_diff"] = M[:, 1]
         sh["m_len"] = M[:, 2]
         sh["merged"] = merged

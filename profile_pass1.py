@@ -134,6 +134,25 @@ def main():
         it, kv, idx, roll_arg=1,
     )
     print(f"    -> {dt / NQ * 1e9:.1f} ns/row", flush=True)
+    # low-cardinality variants: does a mostly-constant index stream gather
+    # faster (cache) — decides the h1-first/full-flag scheme
+    idx0 = jax.device_put(jnp.zeros(NQ, jnp.int32), dev)
+    dt = fori_time(
+        "  raw take rows8 all-zero idx",
+        lambda t, i: jnp.take(t, i, axis=0).sum(-1),
+        it, kv, idx0, roll_arg=1,
+    )
+    print(f"    -> {dt / NQ * 1e9:.1f} ns/row", flush=True)
+    mix = np.where(
+        rng.random(NQ) < 0.987, 0, rng.integers(0, kvp.n_buckets, NQ)
+    ).astype(np.int32)
+    idxm = jax.device_put(jnp.asarray(mix), dev)
+    dt = fori_time(
+        "  raw take rows8 98.7%%-zero idx",
+        lambda t, i: jnp.take(t, i, axis=0).sum(-1),
+        it, kv, idxm, roll_arg=1,
+    )
+    print(f"    -> {dt / NQ * 1e9:.1f} ns/row", flush=True)
 
 
 if __name__ == "__main__":
