@@ -4,7 +4,7 @@ The reference is a single-process tool; its scale-out analog here
 (SURVEY §5 "distributed communication backend") is:
 
   - DATA parallelism: read batches sharded over all chips of a slice
-    (parallel/mesh.py build_sharded_scan). Each host feeds its
+    (TpuEngine(mesh=...), parallel/engine.py). Each host feeds its
     process-local shard from its own FASTQ partition; per-shard match
     records are host-gathered and merged — the deterministic
     (read_break desc, len asc, name desc) sort makes the merged result
@@ -21,7 +21,9 @@ Usage on a pod slice (one process per host):
     mesh = distributed.make_mesh(data_axis=..., shard_axis=...)
 
 Collectives ride ICI within a host's chips and DCN across hosts
-automatically under shard_map.
+automatically under shard_map / jit auto-SPMD. Validated by a REAL
+two-process run in tests/test_distributed.py (coordinator + global mesh +
+cross-process psum on the CPU backend).
 """
 
 from __future__ import annotations

@@ -58,7 +58,13 @@ def gen_genome(mbp: float, n_contigs: int = 8, seed: int = 7):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-mbp", type=float, default=1000.0)
-    ap.add_argument("--panel-mbp", type=float, default=512.0)
+    ap.add_argument("--panel-mbp", type=float, default=256.0)
+    ap.add_argument(
+        "--skip-matcher",
+        action="store_true",
+        help="skip phase (a); paste its timings via --matcher-note",
+    )
+    ap.add_argument("--matcher-note", default="")
     ap.add_argument("--shards", type=int, default=8)
     args = ap.parse_args()
 
@@ -72,8 +78,6 @@ def main():
     ]
 
     # ---------- (a) whole-genome Matcher ----------
-    from genefuserust_tpu.core.matcher import Matcher
-
     t0 = time.time()
     contigs = gen_genome(args.genome_mbp)
     t_gen = time.time() - t0
@@ -81,36 +85,47 @@ def main():
     print(f"# genome: {gbp:.2f} Gbp in {t_gen:.0f}s, rss={rss_gb():.1f}GB",
           flush=True)
 
-    rng = np.random.default_rng(1)
-    cands = []
-    names = list(contigs)
-    for _ in range(200):
-        s = contigs[names[int(rng.integers(len(names)))]]
-        off = int(rng.integers(0, len(s) - 150))
-        cands.append(s[off : off + 150])
-    t0 = time.time()
-    matcher = Matcher(contigs, cands)
-    t_build = time.time() - t0
-    t0 = time.time()
-    n_aln = sum(1 for s in cands[:50] if matcher.do_match(s) is not None)
-    t_match = time.time() - t0
-    print(
-        f"# matcher: build {t_build:.0f}s, 50 do_match {t_match:.1f}s, "
-        f"alignable={n_aln}, rss={rss_gb():.1f}GB",
-        flush=True,
-    )
-    lines += [
-        "## (a) Whole-genome Matcher (remove_alignables backend)",
-        "",
-        f"- genome: {gbp:.2f} Gbp synthetic ({len(contigs)} contigs), "
-        f"generated in {t_gen:.0f}s",
-        f"- `Matcher(contigs, 200 candidate reads)` build: **{t_build:.0f}s**, "
-        f"peak RSS {rss_gb():.1f} GB",
-        f"- 50 `do_match` queries: {t_match:.1f}s, alignable={n_aln} "
-        "(quirk-faithful near-no-op, matcher.rs:810-885 mistranslation)",
-        "",
-    ]
-    del matcher
+    if args.skip_matcher:
+        lines += [
+            "## (a) Whole-genome Matcher (remove_alignables backend)",
+            "",
+            args.matcher_note
+            or "- (phase run separately; see recorded timings)",
+            "",
+        ]
+    else:
+        from genefuserust_tpu.core.matcher import Matcher
+
+        rng = np.random.default_rng(1)
+        cands = []
+        names = list(contigs)
+        for _ in range(200):
+            s = contigs[names[int(rng.integers(len(names)))]]
+            off = int(rng.integers(0, len(s) - 150))
+            cands.append(s[off : off + 150])
+        t0 = time.time()
+        matcher = Matcher(contigs, cands)
+        t_build = time.time() - t0
+        t0 = time.time()
+        n_aln = sum(1 for s in cands[:50] if matcher.do_match(s) is not None)
+        t_match = time.time() - t0
+        print(
+            f"# matcher: build {t_build:.0f}s, 50 do_match {t_match:.1f}s, "
+            f"alignable={n_aln}, rss={rss_gb():.1f}GB",
+            flush=True,
+        )
+        lines += [
+            "## (a) Whole-genome Matcher (remove_alignables backend)",
+            "",
+            f"- genome: {gbp:.2f} Gbp synthetic ({len(contigs)} contigs), "
+            f"generated in {t_gen:.0f}s",
+            f"- `Matcher(contigs, 200 candidate reads)` build: **{t_build:.0f}s**, "
+            f"peak RSS {rss_gb():.1f} GB",
+            f"- 50 `do_match` queries: {t_match:.1f}s, alignable={n_aln} "
+            "(quirk-faithful near-no-op, matcher.rs:810-885 mistranslation)",
+            "",
+        ]
+        del matcher
 
     # ---------- (b) sharded whole-genome panel ----------
     import jax
@@ -169,6 +184,7 @@ def main():
     )
 
     # planted fusion: junction between two genes on different contigs
+    rng = np.random.default_rng(1)
     g1 = contigs["chr1"]
     g2 = contigs["chr2"]
     fused = g1[500_000:500_150] + g2[700_000 : 700_000 + 150]
@@ -212,8 +228,10 @@ def main():
         f"{n_entries / 1e6:.0f}M unique k-mers, peak RSS {rss_gb():.1f} GB",
         f"- contig-sharded pack + upload ({args.shards} shards): "
         f"**{t_pack:.0f}s**, {tbl_gb:.1f} GB of tables "
-        f"({tbl_gb / args.shards:.1f} GB/shard — one v5e chip holds 16 GB, "
-        "so the unsharded table would not fit alongside batch buffers)",
+        f"({tbl_gb / args.shards:.1f} GB/shard; one v5e chip holds 16 GB "
+        "total, so the unsharded table cannot fit alongside batch "
+        "buffers — and an hg38-scale whole-genome panel (3.2 Gbp, ~6.4G "
+        "entries, ~77 GB of tables) strictly requires this sharding)",
         f"- planted-fusion scan through `--engine sharded-index`: "
         f"{t_scan:.1f}s, fusions detected: {n_fusions} (>=1 required)",
         "",
