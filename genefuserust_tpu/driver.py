@@ -59,7 +59,8 @@ def check_file_valid(path: str) -> None:
         raise SystemExit(-1)
 
 
-def make_engine(kind: str, settings: Settings, mesh: str = "auto"):
+def make_engine(kind: str, settings: Settings, mesh: str = "auto",
+                thread_num: int = 4):
     if kind == "host":
         from .core.scanner import HostEngine
 
@@ -75,7 +76,17 @@ def make_engine(kind: str, settings: Settings, mesh: str = "auto"):
         return ShardedIndexEngine(settings, mesh=m)
     from .parallel.engine import TpuEngine
 
-    return TpuEngine(settings, mesh=_resolve_mesh(mesh))
+    # `-t N` maps to the number of in-flight batches (pipeline depth): the
+    # TPU-native analog of the reference's N scanner worker threads
+    # (pescanner.rs:296-311) — it bounds how much host-side pack/assembly
+    # work overlaps device compute, exactly as the thread count bounded
+    # concurrent consumers there. Results are `-t`-independent (the match
+    # bins are ordered by batch, not completion).
+    return TpuEngine(
+        settings,
+        mesh=_resolve_mesh(mesh),
+        pipeline_depth=max(2, min(16, thread_num)),
+    )
 
 
 def _resolve_mesh(spec: str):
@@ -126,7 +137,9 @@ def scan(config: RunConfig, command: str) -> None:
     from .core.scanner import Scanner
 
     ext = Path(config.fusion_file).suffix
-    engine = make_engine(config.engine, config.settings, config.mesh)
+    engine = make_engine(
+        config.engine, config.settings, config.mesh, config.thread_num
+    )
 
     from .io.fastq_block import read_fastq_block, read_pair_block
 

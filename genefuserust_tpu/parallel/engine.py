@@ -102,10 +102,13 @@ class TpuEngine:
     single-device flow, keeping results byte-identical (checked in
     tests/test_mesh_engine.py)."""
 
-    def __init__(self, settings: Settings, batch_size: int = 65536, mesh=None):
+    def __init__(self, settings: Settings, batch_size: int = 65536, mesh=None,
+                 pipeline_depth: int = 4):
         self.settings = settings
         self.batch_size = batch_size
         self.mesh = mesh
+        # in-flight batch bound (the `-t` analog; see driver.make_engine)
+        self.pipeline_depth = max(1, pipeline_depth)
         self._n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         self._batch_sharding = None
         self._repl_sharding = None
@@ -365,7 +368,7 @@ class TpuEngine:
             self._advance(c)
         while self._queue and self._queue[0]["stage"] >= 3:
             self._queue.pop(0)
-        depth = 4 * max(1, n_new)
+        depth = self.pipeline_depth * max(1, n_new)
         while len(self._queue) > depth:
             c = self._queue.pop(0)
             while c["stage"] < 3:
