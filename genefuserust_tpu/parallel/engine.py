@@ -208,10 +208,20 @@ class TpuEngine:
         self._table_entry(mapper)
 
     def _pad_rows(self, n: int) -> int:
-        """Power-of-two row padding, at least one row per mesh device."""
-        pb = max(8, self._n_dev)
+        """Compacted-kernel row padding: next power of two, refined down in
+        quarter-pow2 steps (..., 3/4·2^k, 2^k). At most two compiled shape
+        variants per octave, but up to 25% less dead gather work — which
+        matters once realistic merge-failure rates split a batch across the
+        merged and unmerged-lane kernels. Keeps at least one row per mesh
+        device (quarter steps stay n_dev-divisible for pow2 meshes)."""
+        floor = max(8, self._n_dev)
+        pb = floor
         while pb < n:
             pb *= 2
+        step = pb // 4
+        if step >= floor:
+            while pb - step >= n:
+                pb -= step
         return pb
 
     def _progress(self, n: int) -> None:
