@@ -72,6 +72,13 @@ def _load() -> Optional[ctypes.CDLL]:
         p(u8), p(u8), p(u8), p(u8), p(i32), p(i32),
         i64, i64, i64, i64, p(u8), p(u8),
     ]
+    lib.gf_merge_pack_pe2.restype = None
+    lib.gf_merge_pack_pe2.argtypes = [
+        p(u8), p(u8), p(u8), p(u8), p(i32), p(i32),
+        i64, i64, i64, i64,
+        p(u8), p(i32), p(u8), p(u8), p(i32), p(u8),
+        p(i32), i64, p(i32), i64, p(i64),
+    ]
     _lib = lib
     return _lib
 
@@ -149,6 +156,131 @@ def pack_table(
     if failed:
         return None
     return table
+
+
+def merge_pack_pe_batch(b1, q1, b2, q2, l1, l2, L: int):
+    """Host merge + compact + 2-BIT pack of a PE batch (one native pass;
+    bit-exact with core.read fast_merge — see gf_merge_pack_pe2).
+
+    Returns None when the native library is unavailable, else a dict:
+      m_flag (B,) bool, m_len (B,) int32, exotic (B,) bool,
+      mbuf (n_m, mw4) uint8 — compacted merged rows, 2-bit codes at
+        stride (2*Lin+3)//4,
+      rwork (n_u, 3) int32 — [pair_row, lane, len] per live unmerged lane,
+      ubuf (n_u, w4) uint8 — unmerged rows at read width L, 2-bit codes,
+      m_exc / u_exc (n, 2) int32 — [row, col] of non-ACGT bases in the
+        mbuf / ubuf row spaces (device scatters invalid markers there).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    B, Lin = b1.shape
+    mw4 = (2 * Lin + 3) // 4
+    w4 = (L + 3) // 4
+    m_flag = np.zeros(B, np.uint8)
+    m_len = np.zeros(B, np.int32)
+    exotic = np.zeros(B, np.uint8)
+    mbuf = np.empty((B, mw4), np.uint8)
+    rwork = np.empty((2 * B, 3), np.int32)
+    ubuf = np.empty((2 * B, w4), np.uint8)
+    # generous exception capacity: ~3% of all bases; overflow (pathological
+    # all-N batches) rolls the affected pairs over to the host oracle
+    me_cap = max(4096, (B * 2 * Lin) // 32)
+    ue_cap = me_cap
+    m_exc = np.empty((me_cap, 2), np.int32)
+    u_exc = np.empty((ue_cap, 2), np.int32)
+    counts = np.zeros(4, np.int64)
+    u8 = ctypes.c_uint8
+    i32 = ctypes.c_int32
+    i64 = ctypes.c_int64
+    args = [np.ascontiguousarray(x, np.uint8) for x in (b1, q1, b2, q2)]
+    l1c = np.ascontiguousarray(l1, np.int32)
+    l2c = np.ascontiguousarray(l2, np.int32)
+    lib.gf_merge_pack_pe2(
+        _ptr(args[0], u8), _ptr(args[1], u8), _ptr(args[2], u8),
+        _ptr(args[3], u8), _ptr(l1c, i32), _ptr(l2c, i32),
+        B, Lin, mw4, w4,
+        _ptr(m_flag, u8), _ptr(m_len, i32), _ptr(exotic, u8),
+        _ptr(mbuf, u8), _ptr(rwork, i32), _ptr(ubuf, u8),
+        _ptr(m_exc, i32), me_cap, _ptr(u_exc, i32), ue_cap,
+        _ptr(counts, i64),
+    )
+    n_m, n_u, n_me, n_ue = (int(x) for x in counts)
+    return dict(
+        m_flag=m_flag.astype(bool),
+        m_len=m_len,
+        exotic=exotic.astype(bool),
+        mbuf=mbuf[:n_m],
+        rwork=rwork[:n_u],
+        ubuf=ubuf[:n_u],
+        m_exc=m_exc[:n_me],
+        u_exc=u_exc[:n_ue],
+    )
+
+
+def merge_pack_pe_fallback(b1, q1, b2, q2, l1, l2, L: int):
+    """Pure-Python merge_pack_pe_batch (oracle fast_merge per row; slow —
+    only used when the native library cannot build). Output-identical to
+    gf_merge_pack_pe2 by construction: the merge IS the oracle."""
+    from .core.read import SequenceRead, SequenceReadPair
+    from .core.sequence import BASE_CODE_LUT
+    from .ops.pack import has_exotic
+
+    B, Lin = b1.shape
+    mw4 = (2 * Lin + 3) // 4
+    w4 = (L + 3) // 4
+
+    def pack_row2(codes, n, w, row, exc):
+        c = np.zeros(4 * w, np.uint8)
+        c[: min(n, len(codes))] = codes[: min(n, 4 * w)]
+        bad = np.nonzero(c[:n] == 255)[0]
+        for j in bad.tolist():
+            exc.append((row, j))
+        c[c == 255] = 0
+        return c[0::4] | (c[1::4] << 2) | (c[2::4] << 4) | (c[3::4] << 6)
+
+    exotic = has_exotic(b1, l1) | has_exotic(b2, l2)
+    m_flag = np.zeros(B, bool)
+    m_len = np.zeros(B, np.int32)
+    mrows, urows, rw = [], [], []
+    m_exc, u_exc = [], []
+    for r in range(B):
+        n1, n2 = int(l1[r]), int(l2[r])
+        if (n1 == 0 and n2 == 0) or exotic[r]:
+            continue
+        s1 = b1[r, :n1].tobytes().decode("latin-1")
+        s2 = b2[r, :n2].tobytes().decode("latin-1")
+        pair = SequenceReadPair(
+            SequenceRead("r", s1, "+", q1[r, :n1].tobytes().decode("latin-1")),
+            SequenceRead("r", s2, "+", q2[r, :n2].tobytes().decode("latin-1")),
+        )
+        m = pair.fast_merge()
+        if m is not None:
+            m_flag[r] = True
+            m_len[r] = len(m.seq)
+            codes = BASE_CODE_LUT[np.frombuffer(m.seq.encode("latin-1"), np.uint8)]
+            mrows.append(pack_row2(codes, len(m.seq), mw4, len(mrows), m_exc))
+        else:
+            if n1 > 0:
+                rw.append((r, 1, n1))
+                urows.append(
+                    pack_row2(BASE_CODE_LUT[b1[r]], n1, w4, len(urows), u_exc)
+                )
+            if n2 > 0:
+                rw.append((r, 2, n2))
+                urows.append(
+                    pack_row2(BASE_CODE_LUT[b2[r]], n2, w4, len(urows), u_exc)
+                )
+    return dict(
+        m_flag=m_flag,
+        m_len=m_len,
+        exotic=exotic,
+        mbuf=(np.stack(mrows) if mrows else np.zeros((0, mw4), np.uint8)),
+        rwork=(np.asarray(rw, np.int32).reshape(-1, 3)),
+        ubuf=(np.stack(urows) if urows else np.zeros((0, w4), np.uint8)),
+        m_exc=np.asarray(m_exc, np.int32).reshape(-1, 2),
+        u_exc=np.asarray(u_exc, np.int32).reshape(-1, 2),
+    )
 
 
 def pack_pe_batch(b1, q1, b2, q2, l1, l2, L: int, out_rows: int):

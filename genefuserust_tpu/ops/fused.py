@@ -24,7 +24,9 @@ import numpy as np
 
 from ..config import MIN_OVERLAP
 from .map_read import map_read_pass1
-from .pack import COMP4, MAP_FROM_SEQ4, unpack_q2_jnp, unpack_seq4_jnp
+from .pack import (
+    COMP4, MAP_FROM_SEQ4, unpack_q2_jnp, unpack_seq2_jnp, unpack_seq4_jnp,
+)
 
 
 class FusedPass1Result(NamedTuple):
@@ -418,3 +420,128 @@ def fused_pass2_combined(
         axis=1,
     )
     return out_full
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "Wm", "L", "cap", "shift", "max_dupe", "major_req", "minor_req",
+        "mismatch_thr", "kv", "cbits", "pos_bias",
+    ),
+)
+def fused_scan_codes(
+    mbuf: jnp.ndarray,  # (PM, (Wm+3)//4) uint8 — host-merged rows, 2-bit
+    mlens: jnp.ndarray,  # (PM,) int32
+    ubuf: jnp.ndarray,  # (PU, (L+3)//4) uint8 — unmerged R1/R2 lanes
+    ulens: jnp.ndarray,  # (PU,) int32
+    exc: jnp.ndarray,  # (E, 2) int32 — non-ACGT [row, col] in the CONCAT
+    #                     row space ([0,PM) merged, [PM,PM+PU) unmerged);
+    #                     pad entries point out of bounds and are dropped
+    keys_tbl, vals_tbl, dupes, Wm: int, L: int, cap: int, shift: int,
+    max_dupe: int, major_req: int = 40, minor_req: int = 20,
+    mismatch_thr: int = 10,
+    kv: bool = False, cbits: int = 0, pos_bias: int = 0,
+):
+    """Whole scan in ONE dispatch: vote pass over both lanes, on-device
+    survivor compaction (stable by row index), and the mask/segment pass
+    over the first `cap` survivors. Under dispatch-latency-bound and
+    bandwidth-bound links this reduces each batch to one execute plus one
+    ~cap-row fetch; it is also the fewest-kernel-launches form for
+    production hosts. Codes arrive 2-bit packed (the minimal upload);
+    non-ACGT positions are scattered to the invalid marker from `exc`.
+
+    Returns (out, okwords):
+      out      (cap + 1, 13) int32 — per survivor [sidx, svalid,
+               seg_valid0, seg_valid1, start0, start1, end0, end1,
+               contig0, contig1, pos0, pos1, 0]; the LAST row is
+               [n_survivors, 0, ...]. sidx indexes the concatenated
+               [merged-lane rows (PM) | unmerged rows (PU)] space.
+      okwords  (ceil((PM+PU)/32),) int32 — the full vote-gate bitmap, for
+               the (rare) host fallback when n_survivors > cap.
+    """
+    from .map_read import map_read_pass2
+
+    PM, PU = mbuf.shape[0], ubuf.shape[0]
+    erow = exc[:, 0]
+    ecol = exc[:, 1]
+    inv = jnp.full(erow.shape, 255, jnp.uint8)
+    cm = unpack_seq2_jnp(mbuf, Wm).astype(jnp.uint8)
+    cm = cm.at[erow, ecol].set(inv, mode="drop")  # rows >= PM dropped
+    okm, h1m, l1m, h2m, l2m = map_read_pass1(
+        cm, mlens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
+        major_req, minor_req, kv, cbits, pos_bias,
+    )
+    cu = unpack_seq2_jnp(ubuf, L).astype(jnp.uint8)
+    uer = jnp.where(erow >= PM, erow - PM, PU)  # merged entries -> dropped
+    cu = cu.at[uer, ecol].set(inv, mode="drop")
+    oku, h1u, l1u, h2u, l2u = map_read_pass1(
+        cu, ulens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
+        major_req, minor_req, kv, cbits, pos_bias,
+    )
+    N = PM + PU
+    ok = jnp.concatenate([okm, oku])
+    h1 = jnp.concatenate([h1m, h1u])
+    l1 = jnp.concatenate([l1m, l1u])
+    h2 = jnp.concatenate([h2m, h2u])
+    l2 = jnp.concatenate([l2m, l2u])
+    lens = jnp.concatenate([mlens, ulens])
+    # stable survivor compaction: survivors first, in row order
+    iota = jax.lax.iota(jnp.int32, N)
+    order = jnp.argsort(jnp.where(ok, iota, N + iota))
+    c = min(cap, N)
+    sidx = order[:c]
+    svalid = jnp.take(ok, sidx)
+    slens = jnp.where(svalid, jnp.take(lens, sidx), 0)
+    sh1 = jnp.take(h1, sidx)
+    sl1 = jnp.take(l1, sidx)
+    sh2 = jnp.take(h2, sidx)
+    sl2 = jnp.take(l2, sidx)
+    # survivor code rows: gather from the UNPACKED, exception-applied
+    # lane matrices (so the invalid markers carry through), unified to
+    # width W = max(Wm, L)
+    W = max(Wm, L)
+
+    def padc(a, w):
+        if a.shape[1] == w:
+            return a
+        fill = jnp.full((a.shape[0], w - a.shape[1]), 255, jnp.uint8)
+        return jnp.concatenate([a, fill], axis=1)
+
+    allcodes = jnp.concatenate([padc(cm, W), padc(cu, W)], axis=0)
+    codes = jnp.take(allcodes, sidx, axis=0)
+    res = map_read_pass2(
+        codes, slens, sh1, sl1, sh2, sl2,
+        keys_tbl, vals_tbl, dupes, shift, max_dupe, mismatch_thr,
+        kv, cbits, pos_bias,
+    )
+    body = jnp.concatenate(
+        [
+            sidx[:, None],
+            svalid.astype(jnp.int32)[:, None],
+            res.seg_valid.astype(jnp.int32),
+            res.seg_start,
+            res.seg_end,
+            res.seg_contig,
+            res.seg_pos,
+            jnp.zeros((c, 1), jnp.int32),
+        ],
+        axis=1,
+    )
+    if c < cap:  # tiny batches: pad to the static cap
+        body = jnp.concatenate(
+            [body, jnp.zeros((cap - c, 13), jnp.int32)], axis=0
+        )
+    count_row = jnp.zeros((1, 13), jnp.int32).at[0, 0].set(
+        ok.astype(jnp.int32).sum()
+    )
+    out = jnp.concatenate([body, count_row], axis=0)
+    # packed vote-gate bitmap (N is a multiple of 32: row pads are pow2-ish)
+    nw = (N + 31) // 32
+    okp = jnp.zeros(nw * 32, jnp.uint32).at[:N].set(ok.astype(jnp.uint32))
+    weights = jnp.uint32(1) << jax.lax.iota(jnp.int32, 32).astype(jnp.uint32)
+    # distinct powers of two, each present at most once -> the wrapping
+    # uint32 sum is exactly the bitwise OR (bit k of word w = row w*32+k)
+    okwords = (
+        (okp.reshape(nw, 32) * weights[None, :]).sum(axis=1).astype(jnp.int32)
+    )
+    return out, okwords

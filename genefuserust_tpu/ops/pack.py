@@ -83,6 +83,23 @@ def has_exotic(seq_rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
 # ---------------- device-side unpack (jnp) ----------------
 
 
+def unpack_seq2_jnp(packed, L: int):
+    """(B, ceil(L/4)) uint8 of 2-bit codes (LSB-first) -> (B, L) uint8
+    codes 0..3. Non-ACGT positions are carried separately as exception
+    [row, col] lists (native gf_merge_pack_pe2) and scattered to 255 by
+    the caller."""
+    import jax.numpy as jnp
+
+    parts = [
+        packed & 3,
+        (packed >> 2) & 3,
+        (packed >> 4) & 3,
+        (packed >> 6) & 3,
+    ]
+    out = jnp.stack(parts, axis=-1).reshape(packed.shape[0], -1)
+    return out[:, :L]
+
+
 def unpack_seq4_jnp(packed, L: int):
     import jax.numpy as jnp
 

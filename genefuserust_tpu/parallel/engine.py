@@ -1,28 +1,41 @@
-"""TPU batch engine: merge + map_read on device, assembly on host.
+"""TPU batch engine: host merge + one-dispatch device scan + host assembly.
 
 Replaces the reference's producer/consumer thread pipeline
 (src/core/pescanner.rs:296-425) with a batched device pipeline:
 
-  host: FASTQ -> padded byte matrices (block reader) -> packed
-        4-bit-seq/2-bit-qual-class upload (ops/pack.py)
-  device stage 0: merge-on-codes (merged reads stay device-resident)
-  device stage 1: vote pass over COMPACTED lanes (merged pairs never pay
-        the R1/R2 lanes and vice versa)
-  device stage 2: one combined mask/segment pass over the vote survivors
-  host  stage 3: segment assembly -> direction check -> make_match +
-        batched edit-distance verification -> match bins; a tiny retry
-        batch for direction-rejected rows (the only case the reference
-        retries with the reverse complement — pescanner.rs:455-513)
-  Stages of successive batches are interleaved (4-deep) so every fetch
-  overlaps younger batches' device work.
+  producer thread: FASTQ byte matrices -> native C++ overlap-merge
+        (gf_merge_pack_pe, bit-exact with fast_merge / read.rs:313-440)
+        -> lane compaction -> 4-bit code pack -> upload. Quality scores
+        never leave the host; the device only receives the code rows it
+        will scan (merged lane at the batch's bucketed width, live
+        unmerged lanes at read width).
+  device (ONE dispatch, ops/fused.fused_scan_codes): vote pass over both
+        lanes -> on-device survivor compaction (stable sort by row) ->
+        mask/segment pass over the first `cap` survivors. One small
+        (cap+1, 13) fetch per batch; the full vote bitmap stays on device
+        and is fetched only on (rare) capacity overflow.
+  host assembly: segment -> direction check -> make_match + batched
+        edit-distance verification -> match bins; direction-rejected rows
+        accumulate into a DEFERRED batched RC retry (the only case the
+        reference retries with the reverse complement —
+        pescanner.rs:455-513), flushed at a threshold / engine flush.
+  Batches are interleaved through delay stages so each scan result gets
+  multiple batch-periods to cross the device/transfer pipe.
+
+This shape is chosen for the device's actual strengths: the vote/segment
+passes are gather-bound HBM work the TPU does at full memory bandwidth,
+while the overlap merge is branchy byte work a CPU does at memory speed —
+and moving it host-side removes the quality-class upload entirely, which
+matters whenever host<->device bandwidth (not FLOPs) is the scarce
+resource. It is also the fewest-launches form: one execute and one small
+fetch per batch.
 
 Multi-CSV mode (reference: fusion_scan.rs:62-188 outer rayon pool): the
 engine scans ONE read batch against MANY panels at once —
-`scan_pair_block_multi` packs/uploads/merges each batch a single time
-(stage 0 is panel-independent) and fans out stages 1-3 per panel, so the
-per-batch upload and merge cost is amortized across all CSVs and the
-device pipeline stays busy while older panels' matches are assembled on
-the host.
+`scan_pair_block_multi` merges/packs/uploads each batch a single time
+(stage 0 is panel-independent) and fans out per-panel scan dispatches and
+assembly, so the per-batch host merge and upload cost is amortized across
+all CSVs.
 
 Semantics are identical to the scalar host oracle (cross-checked in
 tests/test_engine_equality.py); only the schedule differs.
@@ -51,7 +64,16 @@ class _Fetch:
     """Background device->host fetch: starts a transfer thread at kernel
     issue time so stage advancement consumes an already-landed numpy array
     — critical when dispatch round trips are slow (remote/tunneled
-    devices), harmless otherwise. PJRT transfers are thread-safe."""
+    devices), harmless otherwise. PJRT transfers are thread-safe.
+
+    GIL discipline (measured on the tunneled backend): a plain
+    `np.asarray(pending_array)` HOLDS the GIL for its entire
+    compute+transfer wait, stalling every other Python thread — the
+    producer, other stages' fetches, and kernel dispatches. So the thread
+    (1) polls `is_ready()` (non-blocking, instant) in a sleep loop that
+    releases the GIL, (2) sleeps a transfer-sized grace so the
+    `copy_to_host_async` issued at construction lands, then (3) calls
+    `np.asarray`, which is now a local copy (~0 ms) in the common case."""
 
     __slots__ = ("_arr", "_out", "_thread")
 
@@ -64,14 +86,26 @@ class _Fetch:
             self._thread = None
             return
         try:
-            arr.copy_to_host_async()  # hint where supported
+            arr.copy_to_host_async()  # starts the D2H as soon as computed
         except Exception:
             pass
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        self._out = np.asarray(self._arr)
+        import time
+
+        arr = self._arr
+        try:
+            while not arr.is_ready():
+                time.sleep(0.004)
+            # grace for the async D2H copy (~20 MB/s on tunneled links,
+            # plus a round trip); np.asarray below blocks (GIL held) only
+            # for whatever remains
+            time.sleep(min(0.5, 0.05 + arr.nbytes / 20e6))
+        except Exception:
+            pass
+        self._out = np.asarray(arr)
 
     def get(self):
         if self._thread is None:
@@ -125,6 +159,39 @@ class TpuEngine:
         self._progress_n = 0
         self._queue = []
         self._producer = None  # single-worker pack/upload/dispatch thread
+        # Deferred RC retries: direction-rejected survivors are rare (a
+        # handful per batch) but a synchronous retry dispatch costs two
+        # full device round trips mid-stage-3 — the single largest stage
+        # cost under dispatch latency. Batch them per mapper and flush at
+        # a threshold / engine flush; final output is order-invariant
+        # (deterministic sort before clustering, read_match.rs:227 analog).
+        self._retry_pend = {}  # id(mapper) -> (mapper, [(lane, rc, originals)])
+        self._retry_flush_at = 4096
+        # fused-scan survivor capacity: the one fetched matrix carries at
+        # most this many vote-gate survivors per batch; beyond it the rare
+        # _p2_overflow path kicks in (~20x headroom over observed rates)
+        self._surv_cap = 4096
+        # opt-in wall-time decomposition (profile_engine.py): maps
+        # label -> [total_s, calls]; ~two time.time() calls per probe
+        import os as _os
+
+        self._timers = (
+            {} if _os.environ.get("GENEFUSE_STAGE_TIMERS") else None
+        )
+
+    def _timed(self, label, fn):
+        """Run fn() and charge its wall time to `label` (no-op unless
+        GENEFUSE_STAGE_TIMERS is set)."""
+        if self._timers is None:
+            return fn()
+        import time as _time
+
+        t0 = _time.time()
+        r = fn()
+        e = self._timers.setdefault(label, [0.0, 0])
+        e[0] += _time.time() - t0
+        e[1] += 1
+        return r
 
     def _submit_producer(self, fn, *args):
         from concurrent.futures import ThreadPoolExecutor
@@ -354,7 +421,7 @@ class TpuEngine:
         fetches overlap younger batches' device work; engine.flush drains."""
         shared = dict(
             fut=self._submit_producer(
-                self._st0_issue_merge, b1, q1, l1, b2, q2, l2
+                self._st0_produce, b1, q1, l1, b2, q2, l2
             ),
             mappers=list(mappers),
             pair_obj=pair_obj,
@@ -376,45 +443,41 @@ class TpuEngine:
         n_new = len(mappers)
         for c in list(self._queue[:-n_new]):
             self._advance(c)
-        while self._queue and self._queue[0]["stage"] >= 3:
+        while self._queue and self._queue[0]["stage"] >= self._N_STAGES:
             self._queue.pop(0)
         depth = self.pipeline_depth * max(1, n_new)
         while len(self._queue) > depth:
             c = self._queue.pop(0)
-            while c["stage"] < 3:
+            while c["stage"] < self._N_STAGES:
                 self._advance(c)
 
     def flush(self, mapper=None) -> None:
         while self._queue:
             c = self._queue.pop(0)
-            while c["stage"] < 3:
+            while c["stage"] < self._N_STAGES:
                 self._advance(c)
+        self._drain_retries()
 
-    # ---- stage 0: pack, upload, issue merge (panel-independent) ----
+    # ---- stage 0: host merge + compact + pack + upload (panel-
+    # independent; runs on the producer thread) ----
 
-    def _st0_issue_merge(self, b1, q1, l1, b2, q2, l2):
-        """Pack + upload + merge dispatch. Runs on the producer thread
-        (device-independent of older batches; JAX dispatch is
-        thread-safe). Exotic rows are packed as-is — their 'other' codes
-        can produce no candidates — and routed to the scalar oracle by
+    def _st0_produce(self, b1, q1, l1, b2, q2, l2):
+        """Host-side merge (native gf_merge_pack_pe, bit-exact with the
+        fast_merge oracle) + compaction + 4-bit pack + upload. Quality
+        scores never leave the host: the device only sees the code rows it
+        will scan (merged lane at the batch's bucketed width, live unmerged
+        lanes at read width) — under constrained host<->device bandwidth
+        the upload is the pipeline's scarcest resource. Exotic rows are
+        excluded from both lanes and routed to the scalar oracle by
         _fetch_merge on the main thread."""
         from .. import native
-        from ..ops.fused import fused_merge_chunked
 
         l1 = np.asarray(l1, np.int32).copy()
         l2 = np.asarray(l2, np.int32).copy()
-        B = b1.shape[0]
         # R1/R2 blocks may have different widths (independently parsed
-        # files); all kernels slice the packed buffer with offsets from ONE
-        # width, so pad both sides to a common L (floor 32 also guards the
+        # files); pad both sides to a common L (floor 32 also guards the
         # MIN_OVERLAP/KMER loops against all-short batches)
         L = _round_up(max(32, b1.shape[1], b2.shape[1]), 32)
-        # pad rows to a power of two: bounds compiled shape variants
-        padB = 16
-        while padB < B:
-            padB *= 2
-        chunk = max(1, min(2048, padB // self._n_dev))
-
         if b1.shape[1] != b2.shape[1]:
             Lin = max(b1.shape[1], b2.shape[1])
 
@@ -426,75 +489,99 @@ class TpuEngine:
                 return out
 
             b1, q1, b2, q2 = padw_in(b1), padw_in(q1), padw_in(b2), padw_in(q2)
-        nat = native.pack_pe_batch(b1, q1, b2, q2, l1, l2, L, padB)
-        if nat is not None:
-            buf, exotic = nat
-        else:  # numpy fallback (byte-identical; see native.py)
-            from ..ops.pack import (
-                SEQ4_LUT, has_exotic, pack_q2, pack_seq4, qual_class,
-            )
-
-            exotic = has_exotic(b1, l1) | has_exotic(b2, l2)
-
-            def padw(a):
-                if a.shape[1] == L:
-                    return a
-                out = np.zeros((a.shape[0], L), a.dtype)
-                out[:, : a.shape[1]] = a
-                return out
-
-            pb1, pq1, pb2, pq2 = padw(b1), padw(q1), padw(b2), padw(q2)
-            if padB != B:
-                padrows = padB - B
-
-                def padm(a):
-                    return np.concatenate(
-                        [a, np.zeros((padrows,) + a.shape[1:], a.dtype)], axis=0
-                    )
-
-                pb1, pq1, pb2, pq2 = padm(pb1), padm(pq1), padm(pb2), padm(pq2)
-            buf = np.concatenate(
-                [
-                    pack_seq4(SEQ4_LUT[pb1]),
-                    pack_q2(qual_class(pq1)),
-                    pack_seq4(SEQ4_LUT[pb2]),
-                    pack_q2(qual_class(pq2)),
-                ],
-                axis=1,
-            )
-        if padB != B:
-            l1 = np.concatenate([l1, np.zeros(padB - B, np.int32)])
-            l2 = np.concatenate([l2, np.zeros(padB - B, np.int32)])
-        lens2 = np.stack([l1, l2], axis=1).astype(np.int32)
-        buf_d = self._put_batch(buf)
-        msum_d, m_codes_d = fused_merge_chunked(
-            buf_d, self._put_batch(lens2), L, chunk
+        res = self._timed(
+            "st0.merge_pack",
+            lambda: native.merge_pack_pe_batch(b1, q1, b2, q2, l1, l2, L),
         )
-        return dict(
-            msum_f=_Fetch(msum_d),
-            m_codes_d=m_codes_d,
-            buf_d=buf_d,
-            l1=l1,
-            l2=l2,
-            exotic=exotic,
+        if res is None:  # pure-Python fallback (oracle fast_merge per row)
+            res = native.merge_pack_pe_fallback(b1, q1, b2, q2, l1, l2, L)
+        m_flag = res["m_flag"]
+        m_len = res["m_len"]
+        rwork = res["rwork"]
+        rows_m = np.nonzero(m_flag)[0]
+        n_m = len(rows_m)
+        n_u = len(rwork)
+        w4 = (L + 3) // 4
+        # merged-lane length bucketing: trim to the batch's max merged
+        # length, rounded up to bound compiled-shape variants
+        Wm = _round_up(max(KMER, int(m_len[rows_m].max()) if n_m else KMER), 32)
+        wm4 = (Wm + 3) // 4
+        pm = self._pad_rows(n_m)
+        pu = self._pad_rows(n_u)
+        mb = np.zeros((pm, wm4), np.uint8)
+        mb[:n_m] = res["mbuf"][:, :wm4]
+        mlens = np.zeros(pm, np.int32)
+        mlens[:n_m] = m_len[rows_m]
+        ub = np.zeros((pu, w4), np.uint8)
+        ub[:n_u] = res["ubuf"]
+        ulens = np.zeros(pu, np.int32)
+        ulens[:n_u] = rwork[:, 2]
+        # non-ACGT exceptions, combined into the concat row space; pad
+        # entries point past both lanes and are scatter-dropped
+        m_exc, u_exc = res["m_exc"], res["u_exc"]
+        n_exc = len(m_exc) + len(u_exc)
+        pe = max(32, self._pad_rows(n_exc))
+        exc = np.full((pe, 2), max(Wm, L), np.int32)
+        exc[:, 0] = pm + pu
+        exc[: len(m_exc)] = m_exc
+        if len(u_exc):
+            exc[len(m_exc) : n_exc, 0] = u_exc[:, 0] + pm
+            exc[len(m_exc) : n_exc, 1] = u_exc[:, 1]
+        out = self._timed(
+            "st0.upload",
+            lambda: dict(
+                mb_d=self._put_batch(mb),
+                mlens_d=self._put_batch(mlens),
+                ub_d=self._put_batch(ub),
+                ulens_d=self._put_batch(ulens),
+                exc_d=self._put_repl(exc),
+            ),
+        )
+        out.update(
+            rows_m=rows_m,
+            m_len=m_len,
+            rwork=rwork,
+            exotic=res["exotic"],
+            mbuf=res["mbuf"],
+            ubuf=res["ubuf"],
+            m_exc=m_exc,
+            u_exc=u_exc,
+            n_m=n_m,
+            n_u=n_u,
+            pm=pm,
+            pu=pu,
+            Wm=Wm,
             L=L,
         )
+        return out
+
+    # Stage graph: 0 issue-scan -> 1 delay -> 2 delay -> 3 fetch+assemble
+    # -> 4 done. The whole device scan (vote pass + survivor compaction +
+    # segment pass) is ONE dispatch issued at stage 0; the two delay
+    # stages give its small result matrix two extra batch-periods to cross
+    # the device/transfer pipe before assembly joins it — under high
+    # dispatch latency (remote devices) one period is not enough and the
+    # join stalls the whole pipeline.
+    _N_STAGES = 4
 
     def _advance(self, c) -> None:
         if c["stage"] == 0:
-            self._st1_issue_pass1(c)
+            self._st1_issue_scan(c)
         elif c["stage"] == 1:
-            self._st2_issue_pass2(c)
+            c["stage"] = 2  # delay: scan result in flight
         elif c["stage"] == 2:
+            c["stage"] = 3  # delay
+        elif c["stage"] == 3:
             self._st3_assemble(c)
 
     def _fetch_merge(self, sh: dict) -> None:
-        """Join the producer thread, fetch the merge summary, route exotic
-        rows to the scalar oracle, and derive the (panel-independent)
-        compaction work arrays — once per physical batch."""
+        """Join the producer thread and route exotic rows to the scalar
+        oracle — once per physical batch. (The merge itself, compaction,
+        and uploads all happened on the producer thread.)"""
         if sh["fetched"]:
             return
-        sh.update(sh.pop("fut").result())
+        fut = sh.pop("fut")
+        sh.update(self._timed("st1.producer_join", fut.result))
         # reads with bytes outside ACGTNacgtn go through the scalar oracle
         # (here, on the main thread, so match-bin append order stays
         # deterministic; the sort before clustering removes any remaining
@@ -505,153 +592,132 @@ class TpuEngine:
             from ..core.scanner import scan_one_pair
 
             pair_obj = sh["pair_obj"]
-            ex_rows = np.nonzero(exotic)[0]
-            for i in ex_rows.tolist():
+            for i in np.nonzero(exotic)[0].tolist():
                 lr = pair_obj(int(i))
                 for m in sh["mappers"]:
                     scan_one_pair(m, SequenceReadPair(lr[0], lr[1]))
-            # l1/l2 are padded to padB; index (not bool-mask) the B rows
-            sh["l1"][ex_rows] = 0
-            sh["l2"][ex_rows] = 0
-        M = sh["msum_f"].get()  # transfer overlapped since stage 0
-        n_ex = len(exotic)
-        merged = M[:, 0].astype(bool)
-        merged[:n_ex] &= ~exotic
-        sh["m_diff"] = M[:, 1]
-        sh["m_len"] = M[:, 2]
-        sh["merged"] = merged
-        rows_m = np.nonzero(merged)[0]
-        # unmerged pairs with at least one live read map both lanes (a dead
-        # lane is len-0 and gated on device); padded/exotic rows have both 0
-        uidx = np.nonzero(~merged & ((sh["l1"] > 0) | (sh["l2"] > 0)))[0]
-        sh["rows_m"] = rows_m
-        sh["uidx"] = uidx
-        if len(rows_m):
-            pb = self._pad_rows(len(rows_m))
-            mi = np.zeros(pb, np.int32)
-            ml = np.zeros(pb, np.int32)
-            mi[: len(rows_m)] = rows_m
-            ml[: len(rows_m)] = sh["m_len"][rows_m]
-            # length bucketing: trim the scan width to the batch's max
-            # merged length, rounded up to bound compiled-shape variants
-            sh["m_width"] = _round_up(max(KMER, int(ml.max())), 32)
-            sh["mi_d"] = self._put_repl(mi)
-            sh["ml_d"] = self._put_repl(ml)
-        if len(uidx):
-            n_r = 2 * len(uidx)
-            pb = self._pad_rows(n_r)
-            rwork = np.zeros((pb, 3), np.int32)
-            rwork[: len(uidx), 0] = uidx
-            rwork[: len(uidx), 1] = 1
-            rwork[: len(uidx), 2] = sh["l1"][uidx]
-            rwork[len(uidx) : n_r, 0] = uidx
-            rwork[len(uidx) : n_r, 1] = 2
-            rwork[len(uidx) : n_r, 2] = sh["l2"][uidx]
-            sh["rwork"] = rwork
-            sh["n_r"] = n_r
-            sh["rwork_d"] = self._put_repl(rwork)
         sh["fetched"] = True
 
-    # ---- stage 1: fetch merge summary, issue compacted pass1 ----
+    # ---- stage 0 advance: join producer, issue the one-dispatch scan ----
 
-    def _st1_issue_pass1(self, c) -> None:
-        from ..ops.fused import pass1_rows_merged, pass1_rows_packed
+    def _st1_issue_scan(self, c) -> None:
+        from ..ops.fused import fused_scan_codes
 
         st = self.settings
         sh = c["shared"]
         self._fetch_merge(sh)
         tbl = c["tbl"]
-        c["pm_d"] = None
-        c["pr_d"] = None
-        common = (tbl["keys"], tbl["vals"], tbl["dupes"])
-        if len(sh["rows_m"]):
-            c["pm_d"] = pass1_rows_merged(
-                sh["m_codes_d"],
-                sh["mi_d"],
-                sh["ml_d"],
-                *common,
-                L2=2 * sh["L"],
-                major_req=st.major_gene_key_requirement,
-                minor_req=st.minor_gene_key_requirement,
-                width=sh["m_width"],
-                **tbl["statics"],
-            )
-        if len(sh["uidx"]):
-            c["pr_d"] = pass1_rows_packed(
-                sh["buf_d"],
-                sh["rwork_d"],
-                *common,
+        c["scan_d"] = None
+        c["okw_d"] = None
+        if sh["n_m"] or sh["n_u"]:
+            out_d, okw_d = fused_scan_codes(
+                sh["mb_d"],
+                sh["mlens_d"],
+                sh["ub_d"],
+                sh["ulens_d"],
+                sh["exc_d"],
+                tbl["keys"],
+                tbl["vals"],
+                tbl["dupes"],
+                Wm=sh["Wm"],
                 L=sh["L"],
+                cap=self._surv_cap,
                 major_req=st.major_gene_key_requirement,
                 minor_req=st.minor_gene_key_requirement,
+                mismatch_thr=st.mismatch_threshold,
                 **tbl["statics"],
             )
-        c["pm_f"] = _Fetch(c["pm_d"])
-        c["pr_f"] = _Fetch(c["pr_d"])
+            c["scan_d"] = out_d
+            c["okw_d"] = okw_d  # fetched only on survivor-cap overflow
+        c["scan_f"] = _Fetch(c["scan_d"])
         c["stage"] = 1
 
-    # ---- stage 2: fetch pass1, issue combined pass2 for survivors ----
+    # ---- survivor-cap overflow: pass2 for survivors beyond `cap` ----
 
-    def _st2_issue_pass2(self, c) -> None:
-        from ..ops.fused import fused_pass2_combined
+    def _p2_overflow(self, c, n_count: int):
+        """Synchronous pass2 for survivors the fused scan's fixed capacity
+        missed (needs the ok-bitmap fetch; rare — the cap is ~20x the
+        observed survivor rate). Returns rows shaped like the scan body:
+        [sidx, 1, valid0, valid1, s0, s1, e0, e1, c0, c1, p0, p1, 0]."""
+        from ..ops.fused import fused_scan_codes
 
         st = self.settings
         sh = c["shared"]
         tbl = c["tbl"]
-        idx_list = []
-        lane_list = []
-        lens_list = []
-        gps_list = []
-        if c["pm_d"] is not None:
-            P = c["pm_f"].get()  # (pb, 5)
-            k = len(sh["rows_m"])
-            ok = P[:k, 0].astype(bool)
-            sel = np.nonzero(ok)[0]
-            idx_list.append(sh["rows_m"][sel])
-            lane_list.append(np.zeros(len(sel), np.int32))
-            lens_list.append(sh["m_len"][sh["rows_m"][sel]])
-            gps_list.append(P[sel, 1:5])
-        if c["pr_d"] is not None:
-            P = c["pr_f"].get()
-            k = sh["n_r"]
-            ok = P[:k, 0].astype(bool)
-            sel = np.nonzero(ok)[0]
-            rw = sh["rwork"]
-            idx_list.append(rw[sel, 0])
-            lane_list.append(rw[sel, 1])
-            lens_list.append(rw[sel, 2])
-            gps_list.append(P[sel, 1:5])
-        c["out_d"] = None
-        if idx_list and sum(len(x) for x in idx_list):
-            idx = np.concatenate(idx_list).astype(np.int64)
-            lane_arr = np.concatenate(lane_list).astype(np.int32)
-            lens_arr = np.concatenate(lens_list).astype(np.int32)
-            gps_arr = np.concatenate(gps_list).astype(np.int32)
-            n_surv = len(idx)
-            pb = self._pad_rows(n_surv)
-            work = np.zeros((pb, 7), np.int32)
-            work[:n_surv, 0] = idx
-            work[:n_surv, 1] = lane_arr
-            work[:n_surv, 2] = lens_arr
-            work[:n_surv, 3:7] = gps_arr
-            c["surv_idx"] = idx
-            c["surv_lane"] = lane_arr
-            c["n_surv"] = n_surv
-            c["out_d"] = fused_pass2_combined(
-                sh["m_codes_d"],
-                sh["buf_d"],
-                self._put_repl(work),
-                tbl["keys"],
-                tbl["vals"],
-                tbl["dupes"],
-                L=sh["L"],
-                mismatch_thr=st.mismatch_threshold,
-                **tbl["statics"],
-            )
-        c["out_f"] = _Fetch(c["out_d"])
-        c["stage"] = 2
+        okw = np.asarray(c["okw_d"]).view(np.uint32)
+        bits = np.unpackbits(
+            okw.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
+        ).reshape(-1)
+        sidx_all = np.nonzero(bits)[0]
+        tail = sidx_all[self._surv_cap :].astype(np.int32)
+        assert len(tail) == n_count - self._surv_cap
+        pm = sh["pm"]
+        rw = sh["rwork"]
+        W = max(sh["Wm"], sh["L"])
+        ws4 = (W + 3) // 4
+        wm4 = (sh["Wm"] + 3) // 4
+        w4 = (sh["L"] + 3) // 4
+        pb = self._pad_rows(len(tail))
+        sbuf = np.zeros((pb, ws4), np.uint8)
+        lens = np.zeros(pb, np.int32)
+        is_m = tail < pm
+        mrows = tail[is_m]
+        urows = tail[~is_m] - pm
+        km = np.nonzero(is_m)[0]
+        ku = np.nonzero(~is_m)[0]
+        # merged-lane rows index the compacted mbuf directly (rows < n_m)
+        sbuf[km, :wm4] = sh["mbuf"][mrows][:, :wm4]
+        lens[km] = sh["m_len"][sh["rows_m"][mrows]]
+        sbuf[ku, :w4] = sh["ubuf"][urows]
+        lens[ku] = rw[urows, 2]
+        # remap this batch's non-ACGT exceptions onto the tail rows
+        old_to_new = {int(t): k for k, t in enumerate(tail)}
+        exc_list = [
+            (old_to_new[int(r)], int(col))
+            for r, col in sh["m_exc"]
+            if int(r) in old_to_new
+        ] + [
+            (old_to_new[int(r) + pm], int(col))
+            for r, col in sh["u_exc"]
+            if int(r) + pm in old_to_new
+        ]
+        pe = max(32, self._pad_rows(len(exc_list)))
+        exc = np.full((pe, 2), W, np.int32)
+        exc[:, 0] = pb + 8
+        for k, (r, col) in enumerate(exc_list):
+            exc[k] = (r, col)
+        # the scan result does not carry per-row vote keys, so rerun
+        # pass1+pass2 via the same scan kernel on just the tail rows
+        # (identical votes -> identical segments)
+        out_t, _ = fused_scan_codes(
+            self._put_batch(sbuf),
+            self._put_batch(lens),
+            self._put_batch(np.zeros((8, w4), np.uint8)),
+            self._put_batch(np.zeros(8, np.int32)),
+            self._put_repl(exc),
+            tbl["keys"],
+            tbl["vals"],
+            tbl["dupes"],
+            Wm=W,
+            L=sh["L"],
+            cap=pb,
+            major_req=st.major_gene_key_requirement,
+            minor_req=st.minor_gene_key_requirement,
+            mismatch_thr=st.mismatch_threshold,
+            **tbl["statics"],
+        )
+        res = np.asarray(out_t)
+        body = res[:-1]
+        # map the tail-kernel's sidx (over the tail buffer) back to the
+        # original concatenated row space
+        rows = []
+        for k in range(int(res[-1, 0])):
+            r = body[k].copy()
+            r[0] = tail[int(r[0])]
+            rows.append(r)
+        return rows
 
-    # ---- stage 3: fetch pass2, assemble matches ----
+    # ---- stage 3: fetch the scan result, assemble matches ----
 
     def _st3_assemble(self, c) -> None:
         from ..core.read import SequenceReadPair
@@ -678,44 +744,105 @@ class TpuEngine:
 
         ed = EdBatcher()
         retry: List[Tuple[int, int, SequenceRead]] = []
-        if c["out_d"] is not None:
-            out = c["out_f"].get()  # (pb, 10)
-            for k in range(c["n_surv"]):
-                if not (out[k, 0] and out[k, 1]):
+        if c["scan_d"] is not None:
+            out = self._timed("st3.out_wait", c["scan_f"].get)  # (cap+1, 13)
+            t_host = None if self._timers is None else __import__("time").time()
+            n_count = int(out[-1, 0])
+            rows = list(out[: min(n_count, self._surv_cap)])
+            if n_count > self._surv_cap:
+                rows.extend(self._p2_overflow(c, n_count))
+            pm, n_m = sh["pm"], sh["n_m"]
+            rw = sh["rwork"]
+            for r in rows:
+                if not (r[2] and r[3]):
                     continue
-                i = int(c["surv_idx"][k])
-                lane = int(c["surv_lane"][k])
+                sidx = int(r[0])
+                if sidx < pm:
+                    i = int(sh["rows_m"][sidx])
+                    lane = 0
+                else:
+                    j = sidx - pm
+                    i = int(rw[j, 0])
+                    lane = int(rw[j, 1])
                 mapping = [
                     SeqMatch(
-                        int(out[k, 2 + t]),
-                        int(out[k, 4 + t]),
-                        GenePos(int(out[k, 6 + t]), int(out[k, 8 + t])),
+                        int(r[4 + t]),
+                        int(r[6 + t]),
+                        GenePos(int(r[8 + t]), int(r[10 + t])),
                     )
                     for t in range(2)
                 ]
                 if mapper.indexer.in_required_direction(mapping):
-                    r = read_for(i, lane)
-                    m = mapper.make_match(r, mapping, ed_batcher=ed)
+                    rd = read_for(i, lane)
+                    m = mapper.make_match(rd, mapping, ed_batcher=ed)
                     m.original_reads = list(pair_obj(i))
                     mapper.add_match(m)
                 else:
                     retry.append((i, lane, read_for(i, lane).reverse_complement()))
+            if t_host is not None:
+                e = self._timers.setdefault("st3.survivor_loop", [0.0, 0])
+                e[0] += __import__("time").time() - t_host
+                e[1] += 1
         if retry:
-            self._retry(mapper, c["tbl"], retry, lambda i: list(pair_obj(i)), ed)
-        ed.flush()
+            self._timed(
+                "st3.retry_enqueue",
+                lambda: self._enqueue_retries(
+                    mapper,
+                    [(lane, rc, list(pair_obj(i))) for i, lane, rc in retry],
+                ),
+            )
+        self._timed("st3.ed_flush", ed.flush)
         if c["count_progress"]:
             self._progress(sh["orig_B"])
-        c["stage"] = 3
+        c["stage"] = 4
 
     def _retry(self, mapper, tbl, retry, originals_fn, ed_batcher=None) -> None:
-        """RC retry for direction-rejected reads (tiny batch).
+        """Synchronous RC retry (small non-pipelined paths).
         retry: [(key, lane, rc_read)]; originals_fn(key) -> original reads."""
-        Lr2 = _round_up(max(KMER, max(len(r.seq) for _, _, r in retry)), 32)
+        items = [(lane, rc, list(originals_fn(key))) for key, lane, rc in retry]
+        self._retry_items(mapper, tbl, items, ed_batcher)
+
+    def _enqueue_retries(self, mapper, items) -> None:
+        """Queue [(lane, rc_read, originals)] for a later batched retry
+        dispatch (originals are materialized so the source block can be
+        dropped). Flushes when the pending set is large."""
+        key = id(mapper)
+        if key not in self._retry_pend:
+            self._retry_pend[key] = (mapper, [])
+        pend = self._retry_pend[key][1]
+        pend.extend(items)
+        if len(pend) >= self._retry_flush_at:
+            self._drain_retries(mapper)
+
+    def _drain_retries(self, mapper=None) -> None:
+        from .ed_batch import EdBatcher
+
+        keys = (
+            list(self._retry_pend)
+            if mapper is None
+            else [id(mapper)]
+        )
+        for k in keys:
+            entry = self._retry_pend.pop(k, None)
+            if entry is None or not entry[1]:
+                continue
+            m, items = entry
+            ed = EdBatcher()
+            self._retry_items(m, self._table_entry(m), items, ed)
+            ed.flush()
+
+    def _retry_items(self, mapper, tbl, items, ed_batcher=None) -> None:
+        """One batched RC-retry dispatch. items: [(lane, rc_read,
+        original_reads)]. Reference behavior: pescanner.rs:455-513 —
+        direction-rejected reads are re-mapped reverse-complemented."""
+        if not items:
+            return
+        Lr2 = _round_up(max(KMER, max(len(r.seq) for _, r, _ in items)), 32)
         rrows, rlens = _tokenize_bytes(
-            [r.seq.encode("latin-1") for _, _, r in retry], Lr2
+            [r.seq.encode("latin-1") for _, r, _ in items], Lr2
         )
         sv, ss, se, sc, sp = self._run_map(rrows, rlens, tbl)
-        for k, (key, lane, rc_read) in enumerate(retry):
+        for k, (lane, rc_read, originals) in enumerate(items):
             if not (sv[k, 0] and sv[k, 1]):
                 continue
             mapping = [
@@ -727,7 +854,7 @@ class TpuEngine:
             if not mapper.indexer.in_required_direction(mapping):
                 continue
             m = mapper.make_match(rc_read, mapping, ed_batcher=ed_batcher)
-            m.original_reads = originals_fn(key)
+            m.original_reads = originals
             if lane != 0:
                 # merged-lane RC matches keep reversed=False
                 # (faithful: pescanner.rs:465-468 vs :487-490)

@@ -228,4 +228,187 @@ void gf_pack_pe_batch(const uint8_t* b1, const uint8_t* q1,
   }
 }
 
+// Host-side overlap merge + compaction + 2-BIT pack of a paired-end
+// batch. Bit-exact port of the scalar oracle fast_merge
+// (genefuserust_tpu/core/read.py:52-119; reference src/core/read.rs:313-440):
+// overlap lengths tried from MIN_OVERLAP(30) upward, accepted iff every
+// mismatch is a low-qual diff (one side >='?' (Q30), other <='0' (Q15))
+// and there are at most 2; in the merged overlap a mismatch takes R1's
+// base only when q1>=Q30 && q2<=Q15, else R2rc's base.
+//
+// Codes are 2-bit (A=0,T=1,C=2,G=3, four bases per byte, LSB-first) —
+// the smallest upload the device kernels can consume. Non-ACGT bases
+// (N, lowercase, ...) are emitted as code 0 plus an EXCEPTION entry
+// [compacted_row, col]; the device scatters an invalid marker (255) at
+// those positions after unpacking, reproducing the 4-bit semantics
+// exactly (the k-mer path only distinguishes ACGT from invalid). If the
+// exception capacity would overflow (pathological N-heavy batches), the
+// offending PAIR is rolled back and routed to the host oracle via its
+// exotic flag — semantics preserved, throughput degraded only for that
+// pair.
+//
+// Outputs (caller-allocated; counts returned via `counts` =
+// [n_m, n_u, n_mexc, n_uexc]):
+//   m_flag  u8[B]       1 where the pair merged (exotic rows excluded)
+//   m_len   i32[B]      merged length for merged rows
+//   exotic  u8[B]       1 = host-oracle routing (non-ACGTNacgtn bytes, or
+//                       exception-capacity rollback)
+//   mbuf    u8[B*mw4]   2-bit codes of merged rows, COMPACTED, stride mw4
+//   rwork   i32[2B*3]   [pair_row, lane(1|2), len] per live unmerged lane
+//   ubuf    u8[2B*w4]   2-bit codes matching rwork rows (RAW reads)
+//   m_exc   i32[2*m_exc_cap]  [row, col] pairs into the mbuf row space
+//   u_exc   i32[2*u_exc_cap]  [row, col] pairs into the ubuf row space
+void gf_merge_pack_pe2(const uint8_t* b1, const uint8_t* q1,
+                       const uint8_t* b2, const uint8_t* q2,
+                       const int32_t* l1, const int32_t* l2,
+                       int64_t B, int64_t Lin, int64_t mw4, int64_t w4,
+                       uint8_t* m_flag, int32_t* m_len, uint8_t* exotic,
+                       uint8_t* mbuf, int32_t* rwork, uint8_t* ubuf,
+                       int32_t* m_exc, int64_t m_exc_cap,
+                       int32_t* u_exc, int64_t u_exc_cap,
+                       int64_t* counts) {
+  static uint8_t lut2[256];
+  static uint8_t okb[256];
+  static uint8_t comp[256];
+  static bool init = false;
+  if (!init) {
+    memset(lut2, 255, 256);
+    lut2[(int)'A'] = 0; lut2[(int)'T'] = 1; lut2[(int)'C'] = 2;
+    lut2[(int)'G'] = 3;
+    memset(okb, 0, 256);
+    const char* okc = "ACGTNacgtn";
+    for (const char* p = okc; *p; ++p) okb[(int)*p] = 1;
+    // complement: case-insensitive input, UPPERCASE output, non-ACGT->'N'
+    // (core/sequence.py _COMPLEMENT_TABLE; reference sequence.rs:22-50)
+    memset(comp, (int)'N', 256);
+    comp[(int)'A'] = 'T'; comp[(int)'a'] = 'T';
+    comp[(int)'T'] = 'A'; comp[(int)'t'] = 'A';
+    comp[(int)'C'] = 'G'; comp[(int)'c'] = 'G';
+    comp[(int)'G'] = 'C'; comp[(int)'g'] = 'C';
+    init = true;
+  }
+  const int MIN_OVERLAP = 30;
+  const uint8_t Q30 = (uint8_t)'?', Q15 = (uint8_t)'0';
+  std::vector<uint8_t> rc2((size_t)Lin), q2r((size_t)Lin);
+  std::vector<uint8_t> mseq((size_t)(2 * Lin));
+  int64_t n_m = 0, n_u = 0, n_me = 0, n_ue = 0;
+  // pack `n` bytes of s as 2-bit codes into out[w] bytes; exceptions for
+  // non-ACGT at j < n go to (exc_row, j). Returns false on cap overflow.
+  auto pack2 = [&](const uint8_t* s, int64_t n, uint8_t* out, int64_t w,
+                   int32_t exc_row, int32_t* exc, int64_t cap,
+                   int64_t* n_exc) -> bool {
+    for (int64_t i = 0; i < w; ++i) {
+      uint8_t byte = 0;
+      for (int k = 0; k < 4; ++k) {
+        int64_t j = 4 * i + k;
+        uint8_t c = 0;
+        if (j < n) {
+          c = lut2[s[j]];
+          if (c == 255) {
+            if (*n_exc >= cap) return false;
+            exc[2 * *n_exc] = exc_row;
+            exc[2 * *n_exc + 1] = (int32_t)j;
+            ++*n_exc;
+            c = 0;
+          }
+        }
+        byte |= (uint8_t)(c << (2 * k));
+      }
+      out[i] = byte;
+    }
+    return true;
+  };
+  for (int64_t r = 0; r < B; ++r) {
+    m_flag[r] = 0;
+    m_len[r] = 0;
+    exotic[r] = 0;
+    const int64_t n1 = l1[r], n2 = l2[r];
+    if (n1 == 0 && n2 == 0) continue;  // dead/padding row
+    const uint8_t* s1 = b1 + r * Lin;
+    const uint8_t* s2 = b2 + r * Lin;
+    const uint8_t* qa = q1 + r * Lin;
+    const uint8_t* qb = q2 + r * Lin;
+    bool ex = false;
+    for (int64_t i = 0; i < n1 && i < Lin; ++i)
+      if (!okb[s1[i]]) { ex = true; break; }
+    if (!ex)
+      for (int64_t i = 0; i < n2 && i < Lin; ++i)
+        if (!okb[s2[i]]) { ex = true; break; }
+    if (ex) { exotic[r] = 1; continue; }
+    // reverse-complement R2 (+ reversed quality)
+    for (int64_t i = 0; i < n2; ++i) {
+      rc2[i] = comp[s2[n2 - 1 - i]];
+      q2r[i] = qb[n2 - 1 - i];
+    }
+    // overlap search: first accepted olen wins
+    int64_t olen = 0;
+    bool merged = false;
+    const int64_t omax = (n1 < n2 ? n1 : n2);
+    for (int64_t ol = MIN_OVERLAP; ol <= omax; ++ol) {
+      const int64_t off = n1 - ol;
+      int diff = 0, lqd = 0;
+      bool ok = true;
+      for (int64_t i = 0; i < ol; ++i) {
+        if (s1[off + i] != rc2[i]) {
+          ++diff;
+          if ((qa[off + i] >= Q30 && q2r[i] <= Q15) ||
+              (qa[off + i] <= Q15 && q2r[i] >= Q30))
+            ++lqd;
+          if (diff > lqd || lqd >= 3) { ok = false; break; }
+        }
+      }
+      if (ok) { merged = true; olen = ol; break; }
+    }
+    if (merged) {
+      const int64_t off = n1 - olen;
+      const int64_t ml = off + n2;
+      memcpy(mseq.data(), s1, (size_t)off);
+      memcpy(mseq.data() + off, rc2.data(), (size_t)n2);
+      for (int64_t i = 0; i < olen; ++i) {
+        if (s1[off + i] != rc2[i] && qa[off + i] >= Q30 && q2r[i] <= Q15)
+          mseq[off + i] = s1[off + i];
+      }
+      const int64_t save_me = n_me;
+      if (!pack2(mseq.data(), ml, mbuf + n_m * mw4, mw4, (int32_t)n_m,
+                 m_exc, m_exc_cap, &n_me)) {
+        n_me = save_me;  // rollback: route the pair to the host oracle
+        exotic[r] = 1;
+        continue;
+      }
+      m_flag[r] = 1;
+      m_len[r] = (int32_t)ml;
+      ++n_m;
+    } else {
+      const int64_t save_u = n_u, save_ue = n_ue;
+      bool okp = true;
+      if (n1 > 0) {
+        rwork[3 * n_u] = (int32_t)r;
+        rwork[3 * n_u + 1] = 1;
+        rwork[3 * n_u + 2] = (int32_t)n1;
+        okp = pack2(s1, n1, ubuf + n_u * w4, w4, (int32_t)n_u,
+                    u_exc, u_exc_cap, &n_ue);
+        if (okp) ++n_u;
+      }
+      if (okp && n2 > 0) {
+        rwork[3 * n_u] = (int32_t)r;
+        rwork[3 * n_u + 1] = 2;
+        rwork[3 * n_u + 2] = (int32_t)n2;
+        okp = pack2(s2, n2, ubuf + n_u * w4, w4, (int32_t)n_u,
+                    u_exc, u_exc_cap, &n_ue);
+        if (okp) ++n_u;
+      }
+      if (!okp) {  // rollback the whole pair -> host oracle
+        n_u = save_u;
+        n_ue = save_ue;
+        exotic[r] = 1;
+        continue;
+      }
+    }
+  }
+  counts[0] = n_m;
+  counts[1] = n_u;
+  counts[2] = n_me;
+  counts[3] = n_ue;
+}
+
 }  // extern "C"

@@ -40,19 +40,32 @@ def main():
 
         return inner
 
+    BS = int(os.environ.get("PROF_BATCH", "65536"))
     mapper = benchmod.get_mapper(15.2)
     packed = benchmod.get_packed(mapper, 15.2)
-    engine = eng.TpuEngine(Settings(), batch_size=32768)
+    engine = eng.TpuEngine(Settings(), batch_size=BS)
     engine.use_packed(packed)
     engine._prepared_for = mapper
 
-    engine._st0_issue_merge = wrap("st0_issue(pack+upload+merge)", engine._st0_issue_merge)
+    engine._st0_produce = wrap("st0_produce(merge+pack+upload)", engine._st0_produce)
     engine._fetch_merge = wrap("st1_fetch_merge", engine._fetch_merge)
-    engine._st1_issue_pass1 = wrap("st1_total(fetch+issue)", engine._st1_issue_pass1)
-    engine._st2_issue_pass2 = wrap("st2_total(fetchP1+issueP2)", engine._st2_issue_pass2)
+    engine._st1_issue_scan = wrap("st1_total(join+dispatch)", engine._st1_issue_scan)
     engine._st3_assemble = wrap("st3_assemble(fetch+host)", engine._st3_assemble)
+    # fetch-join wait, counted separately (it is INSIDE st2/st3 totals):
+    # large values mean the stage thread blocks on device results that
+    # have not landed yet — i.e. the device (or transfer) is behind
+    real_get = eng._Fetch.get
 
-    block = benchmod.gen_block(mapper, 131072, 150)
+    def timed_get(self_):
+        t0 = time.time()
+        r = real_get(self_)
+        times["  (fetch-join wait, all stages)"] += time.time() - t0
+        counts["  (fetch-join wait, all stages)"] += 1
+        return r
+
+    eng._Fetch.get = timed_get
+
+    block = benchmod.gen_block(mapper, 131072)
 
     # warmup
     t0 = time.time()
@@ -61,13 +74,15 @@ def main():
     print(f"# warmup: {time.time() - t0:.1f}s", flush=True)
     times.clear()
     counts.clear()
+    if engine._timers:
+        engine._timers.clear()
 
     t0 = time.time()
     for _ in range(2):
         engine.scan_pair_block(mapper, block)
     engine.flush(mapper)
     total = time.time() - t0
-    n_batches = 2 * 131072 // 32768
+    n_batches = 2 * 131072 // BS
     print(f"# steady: {total:.2f}s for {n_batches} batches "
           f"({2 * 131072 / total:,.0f} pairs/s)", flush=True)
     for k in sorted(times, key=lambda k: -times[k]):
@@ -78,6 +93,12 @@ def main():
         )
     acc = sum(times[k] for k in times if k != "st1_fetch_merge")
     print(f"{'(sum of stages)':34s} {acc:7.2f}s of {total:.2f}s", flush=True)
+    if engine._timers:
+        print("# fine timers (st0 runs on the producer thread):", flush=True)
+        for k in sorted(engine._timers, key=lambda k: -engine._timers[k][0]):
+            tot, n = engine._timers[k]
+            print(f"  {k:32s} {tot:7.2f}s total  "
+                  f"{tot / max(1, n) * 1e3:7.1f} ms/call x{n}", flush=True)
 
 
 if __name__ == "__main__":

@@ -13,27 +13,38 @@ sys.path.insert(0, REPO)
 
 
 def fori_time(name, fn, iters, *args, roll_arg=0):
+    """Timed jitted fori loop. CRITICAL (profile_memoize.py): the axon
+    tunnel memoizes executions by executable + input CONTENT — the timed
+    call MUST see different input values than the warmup call, or it
+    returns in ~0.03ms without executing. We salt the rolled argument with
+    a distinct constant per call (the probe fn must consume the rolled
+    arg's values, e.g. via `(i + kv[0])`-style index/key derivation)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(*a):
+    def run(salt, *a):
         def body(k, acc):
             b = list(a)
-            b[roll_arg] = jnp.roll(b[roll_arg], k, axis=0)
+            b[roll_arg] = jnp.roll(b[roll_arg], k, axis=0) + salt
             out = fn(*b)
             return acc + jnp.sum(out).astype(jnp.int32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    r = run(*args)
-    r.block_until_ready()
-    t0 = time.time()
-    r = run(*args)
-    r.block_until_ready()
-    dt = (time.time() - t0) / iters
-    print(f"{name:46s} {dt * 1e3:9.2f} ms/iter", flush=True)
-    return dt
+    dt_prev = None
+    for c, salt in enumerate((101, 57, 23)):
+        s = jnp.asarray(salt, list(args)[roll_arg].dtype)
+        t0 = time.time()
+        run(s, *args).block_until_ready()
+        dt = (time.time() - t0) / iters
+        if c:  # call 0 is compile+warmup
+            print(f"{name:46s} {dt * 1e3:9.2f} ms/iter", flush=True)
+            if dt_prev is not None and min(dt, dt_prev) < 1e-4:
+                print(f"{'':46s}   ^ SUSPECT: sub-0.1ms — likely memoized",
+                      flush=True)
+            dt_prev = dt
+    return dt_prev
 
 
 def main():

@@ -275,8 +275,81 @@ def main_pin2():
     run_case("rand km,  valid=const, sum   (fast ref)", rkm, "const", "sum")
 
 
+def main_pin3():
+    """Final matrix on the REAL kv table: {1-D, 2-D} indices x {slot-match
+    reduce, full kv_lookup} x {full 537MB table, 128MB slice}, each with a
+    4x-query physics check. Decides whether the 15 ns/row pass-1 cost is
+    index-rank, table-size, or decode-bound."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".bench_cache", "jaxcache")
+    )
+    import jax.numpy as jnp
+
+    import bench as benchmod
+    from genefuserust_tpu.ops import map_read as mr
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", flush=True)
+    mapper = benchmod.get_mapper(15.2)
+    kvp = benchmod.get_packed(mapper, 15.2)
+    kv_full = jax.device_put(jnp.asarray(np.asarray(kvp.kv_tbl)), dev)
+    n_full = kvp.n_buckets
+    n_small = 4_194_304  # 128 MB slice
+    kv_small = kv_full[:n_small]
+    print(f"# full: {n_full/1e6:.1f}M rows, small: {n_small/1e6:.1f}M rows",
+          flush=True)
+    rng = np.random.default_rng(0)
+    B, NS = 32768, 89
+    NQ = B * NS
+    it = 6
+    kvec = jax.device_put(jnp.arange(it, dtype=jnp.int32), dev)
+    km2 = jax.device_put(
+        jnp.asarray(rng.integers(0, 2**32, (B, NS), dtype=np.uint64)
+                    .astype(np.uint32)), dev
+    )
+    km1 = km2.reshape(-1)
+
+    def reduce_probe(t, n):
+        def fn(q, tt, c):
+            kk = q + c[0].astype(q.dtype)
+            b1 = ((kk * jnp.uint32(0x9E3779B1)).astype(jnp.uint32)
+                  % jnp.uint32(n)).astype(jnp.int32)
+            r = jnp.take(tt, b1, axis=0)
+            return jnp.where(r[..., :4] == kk[..., None].astype(jnp.int32),
+                             1, 0).sum(-1)
+        return fn
+
+    def full_probe(t, n):
+        def fn(q, tt, c):
+            kk = q + c[0].astype(q.dtype)
+            cc, pp = mr.kv_lookup(tt, kvp.shift, kvp.cbits, kvp.pos_bias, kk,
+                                  jnp.ones_like(kk, jnp.bool_))
+            return (cc + pp).astype(jnp.int32)
+        return fn
+
+    for tname, tt, n in (("full537", kv_full, n_full), ("small128", kv_small, n_small)):
+        for iname, q in (("1-D", km1), ("2-D", km2)):
+            for pname, mk, ng in (("reduce", reduce_probe, 1), ("kvlookup", full_probe, 2)):
+                dt = fori_time(f"{tname} {iname} {pname}", mk(tt, n), it, q, tt,
+                               kvec, roll_arg=2)
+                print(f"    -> {dt / (ng * NQ) * 1e9:.2f} ns/row", flush=True)
+    # physics check on the fastest-looking combos: 4x queries
+    km1x4 = jnp.tile(km1, 4)
+    for tname, tt, n in (("full537", kv_full, n_full),):
+        dt = fori_time(f"{tname} 1-D reduce x4q", reduce_probe(tt, n), it,
+                       km1x4, tt, kvec, roll_arg=2)
+        print(f"    -> {dt / (4 * NQ) * 1e9:.2f} ns/row", flush=True)
+        dt = fori_time(f"{tname} 1-D kvlookup x4q", full_probe(tt, n), it,
+                       km1x4, tt, kvec, roll_arg=2)
+        print(f"    -> {dt / (8 * NQ) * 1e9:.2f} ns/row", flush=True)
+
+
 if __name__ == "__main__":
-    if "--pin2" in sys.argv:
+    if "--pin3" in sys.argv:
+        main_pin3()
+    elif "--pin2" in sys.argv:
         main_pin2()
     elif "--pin" in sys.argv:
         main_pin()

@@ -190,3 +190,52 @@ def test_single_end_equality(tmp_path):
     )
     assert strip(jh) == strip(jt)
     assert [f.title for f in mh.fusion_results] == [f.title for f in mt.fusion_results]
+
+
+def test_survivor_cap_overflow_equality(tmp_path):
+    """Force the fused scan's fixed survivor capacity to overflow so the
+    _p2_overflow fallback (ok-bitmap fetch + tail re-scan) runs; results
+    must stay byte-identical to the host oracle."""
+    panel = make_panel()
+    pairs = plant_fusion_pairs(panel, n_support=10, n_background=40)
+    m_host, json_host = _scan_results(panel, pairs, tmp_path, HostEngine(), "h2.json")
+    eng = TpuEngine(Settings(), batch_size=64)
+    eng._surv_cap = 2  # well below the planted-support survivor count
+    m_tpu, json_tpu = _scan_results(panel, pairs, tmp_path, eng, "t2.json")
+    assert len(m_host.fusion_results) == len(m_tpu.fusion_results)
+    strip = lambda s: "\n".join(
+        l for l in s.splitlines() if not l.startswith('\t"time"')
+    )
+    assert strip(json_host) == strip(json_tpu)
+
+
+def test_n_bases_equality(tmp_path):
+    """Reads containing N (and lowercase) bases flow through the 2-bit +
+    exception-scatter upload; results must match the host oracle."""
+    rng = np.random.default_rng(11)
+    panel = make_panel()
+    pairs = plant_fusion_pairs(panel, n_support=6, n_background=40)
+    # lace half the reads with Ns / lowercase at random positions
+    laced = []
+    for k, p in enumerate(pairs):
+        if k % 2 == 0:
+            laced.append(p)
+            continue
+        s = bytearray(p.left.seq.encode())
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, len(s)))
+            s[pos] = ord("N") if rng.random() < 0.7 else ord("a")
+        laced.append(
+            SequenceReadPair(
+                SequenceRead(p.left.name, s.decode(), "+", p.left.quality),
+                p.right,
+            )
+        )
+    m_host, json_host = _scan_results(panel, laced, tmp_path, HostEngine(), "hn.json")
+    m_tpu, json_tpu = _scan_results(
+        panel, laced, tmp_path, TpuEngine(Settings(), batch_size=32), "tn.json"
+    )
+    strip = lambda s: "\n".join(
+        l for l in s.splitlines() if not l.startswith('\t"time"')
+    )
+    assert strip(json_host) == strip(json_tpu)
