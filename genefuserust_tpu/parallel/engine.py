@@ -439,17 +439,23 @@ class TpuEngine:
                     count_progress=(j == len(mappers) - 1),
                 )
             )
-        # advance older batches one stage each (oldest first)
+        # dispatch all older batches' scans (oldest first), then assemble
+        # exactly those whose results have landed; the depth cap forces a
+        # blocking assemble only when the pipe is truly saturated
         n_new = len(mappers)
         for c in list(self._queue[:-n_new]):
-            self._advance(c)
-        while self._queue and self._queue[0]["stage"] >= self._N_STAGES:
-            self._queue.pop(0)
-        depth = self.pipeline_depth * max(1, n_new)
-        while len(self._queue) > depth:
-            c = self._queue.pop(0)
-            while c["stage"] < self._N_STAGES:
+            if c["stage"] == 0:
                 self._advance(c)
+        depth = self.pipeline_depth * max(1, n_new)
+        while self._queue and self._queue[0]["stage"] >= 1:
+            c = self._queue[0]
+            if c["stage"] >= self._N_STAGES:
+                self._queue.pop(0)
+                continue
+            if self._scan_ready(c) or len(self._queue) > depth:
+                self._advance(c)
+            else:
+                break
 
     def flush(self, mapper=None) -> None:
         while self._queue:
@@ -555,24 +561,24 @@ class TpuEngine:
         )
         return out
 
-    # Stage graph: 0 issue-scan -> 1 delay -> 2 delay -> 3 fetch+assemble
-    # -> 4 done. The whole device scan (vote pass + survivor compaction +
-    # segment pass) is ONE dispatch issued at stage 0; the two delay
-    # stages give its small result matrix two extra batch-periods to cross
-    # the device/transfer pipe before assembly joins it — under high
-    # dispatch latency (remote devices) one period is not enough and the
-    # join stalls the whole pipeline.
-    _N_STAGES = 4
+    # Stage graph: 0 issue-scan -> 1 assemble -> 2 done. The whole device
+    # scan (vote pass + survivor compaction + segment pass) is ONE
+    # dispatch issued at stage 0; assembly is READINESS-GATED — the
+    # scheduler only assembles a batch whose result matrix has actually
+    # landed, letting up to `pipeline_depth` batches ride the
+    # device/transfer pipe concurrently instead of stalling on a fixed
+    # cadence (crucial under high dispatch latency).
+    _N_STAGES = 2
 
     def _advance(self, c) -> None:
         if c["stage"] == 0:
             self._st1_issue_scan(c)
         elif c["stage"] == 1:
-            c["stage"] = 2  # delay: scan result in flight
-        elif c["stage"] == 2:
-            c["stage"] = 3  # delay
-        elif c["stage"] == 3:
             self._st3_assemble(c)
+
+    def _scan_ready(self, c) -> bool:
+        f = c.get("scan_f")
+        return f is None or f._thread is None or not f._thread.is_alive()
 
     def _fetch_merge(self, sh: dict) -> None:
         """Join the producer thread and route exotic rows to the scalar
@@ -794,7 +800,7 @@ class TpuEngine:
         self._timed("st3.ed_flush", ed.flush)
         if c["count_progress"]:
             self._progress(sh["orig_B"])
-        c["stage"] = 4
+        c["stage"] = 2
 
     def _retry(self, mapper, tbl, retry, originals_fn, ed_batcher=None) -> None:
         """Synchronous RC retry (small non-pipelined paths).
