@@ -86,6 +86,8 @@ def hash_lookup(table: jnp.ndarray, shift: int, kmers: jnp.ndarray, valid: jnp.n
     b2 = (
         ((k ^ (k >> 15)) * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35)) >> shift
     ).astype(jnp.int32)
+    b1 = jnp.where(valid, b1, 0)  # see kv_lookup: invalid -> row 0
+    b2 = jnp.where(valid, b2, 0)
     k1 = jnp.take(keys_tbl, b1, axis=0)  # (..., S)
     k2 = jnp.take(keys_tbl, b2, axis=0)
     m1 = k1 == ki[..., None]
@@ -117,6 +119,11 @@ def kv_lookup(kv_tbl: jnp.ndarray, shift: int, cbits: int, pos_bias: int,
     b2 = (
         ((k ^ (k >> 15)) * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35)) >> shift
     ).astype(jnp.int32)
+    # invalid queries (masked out below) all gather row 0 instead of a
+    # random garbage row — repeated-row fetches are far cheaper in HBM,
+    # and ~20% of merged-lane samples sit past the read length
+    b1 = jnp.where(valid, b1, 0)
+    b2 = jnp.where(valid, b2, 0)
     r1 = jnp.take(kv_tbl, b1, axis=0)  # (..., 8)
     r2 = jnp.take(kv_tbl, b2, axis=0)
     m1 = r1[..., :4] == ki[..., None]
