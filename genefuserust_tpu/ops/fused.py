@@ -422,69 +422,90 @@ def fused_pass2_combined(
     return out_full
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "Wm", "L", "cap", "shift", "max_dupe", "major_req", "minor_req",
-        "mismatch_thr", "kv", "cbits", "pos_bias",
-    ),
-)
 def fused_scan_codes(
-    mbuf: jnp.ndarray,  # (PM, (Wm+3)//4) uint8 — host-merged rows, 2-bit
-    mlens: jnp.ndarray,  # (PM,) int32
-    ubuf: jnp.ndarray,  # (PU, (L+3)//4) uint8 — unmerged R1/R2 lanes
-    ulens: jnp.ndarray,  # (PU,) int32
-    exc: jnp.ndarray,  # (E, 2) int32 — non-ACGT [row, col] in the CONCAT
-    #                     row space ([0,PM) merged, [PM,PM+PU) unmerged);
-    #                     pad entries point out of bounds and are dropped
-    keys_tbl, vals_tbl, dupes, Wm: int, L: int, cap: int, shift: int,
+    mbuf, mlens, ubuf, ulens, exc, keys_tbl, vals_tbl, dupes,
+    Wm: int, L: int, cap: int, shift: int,
     max_dupe: int, major_req: int = 40, minor_req: int = 20,
     mismatch_thr: int = 10,
     kv: bool = False, cbits: int = 0, pos_bias: int = 0,
 ):
-    """Whole scan in ONE dispatch: vote pass over both lanes, on-device
-    survivor compaction (stable by row index), and the mask/segment pass
-    over the first `cap` survivors. Under dispatch-latency-bound and
-    bandwidth-bound links this reduces each batch to one execute plus one
-    ~cap-row fetch; it is also the fewest-kernel-launches form for
-    production hosts. Codes arrive 2-bit packed (the minimal upload);
-    non-ACGT positions are scattered to the invalid marker from `exc`.
+    """Two-lane convenience wrapper over fused_scan_lanes (merged lane at
+    width Wm, unmerged read lane at width L)."""
+    return fused_scan_lanes(
+        (mbuf, ubuf), (mlens, ulens), exc, keys_tbl, vals_tbl, dupes,
+        widths=(Wm, L), cap=cap, shift=shift, max_dupe=max_dupe,
+        major_req=major_req, minor_req=minor_req,
+        mismatch_thr=mismatch_thr, kv=kv, cbits=cbits, pos_bias=pos_bias,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "widths", "cap", "shift", "max_dupe", "major_req", "minor_req",
+        "mismatch_thr", "kv", "cbits", "pos_bias",
+    ),
+)
+def fused_scan_lanes(
+    bufs,  # tuple of (P_i, (widths[i]+3)//4) uint8 — 2-bit code rows
+    lens_t,  # tuple of (P_i,) int32
+    exc: jnp.ndarray,  # (E, 2) int32 — non-ACGT [row, col] in the CONCAT
+    #                     row space (lane i rows at offset sum(P_<i));
+    #                     pad entries point out of bounds and are dropped
+    keys_tbl=None, vals_tbl=None, dupes=None, *, widths, cap: int,
+    shift: int, max_dupe: int, major_req: int = 40, minor_req: int = 20,
+    mismatch_thr: int = 10,
+    kv: bool = False, cbits: int = 0, pos_bias: int = 0,
+):
+    """Whole scan in ONE dispatch over any number of width-bucketed code
+    lanes: stride-2 vote pass per lane, on-device survivor compaction
+    (stable by concat row index), and the mask/segment pass over the first
+    `cap` survivors. Under dispatch-latency-bound and bandwidth-bound
+    links this reduces each batch to one execute plus one ~cap-row fetch;
+    it is also the fewest-kernel-launches form for production hosts.
+    Codes arrive 2-bit packed (the minimal upload); non-ACGT positions are
+    scattered to the invalid marker from `exc`. Width bucketing matters
+    because each lane's vote pass costs P_i x samples(widths[i]) row
+    probes regardless of true row lengths — the host routes rows to the
+    narrowest lane that fits.
 
     Returns (out, okwords):
       out      (cap + 1, 13) int32 — per survivor [sidx, svalid,
                seg_valid0, seg_valid1, start0, start1, end0, end1,
                contig0, contig1, pos0, pos1, 0]; the LAST row is
-               [n_survivors, 0, ...]. sidx indexes the concatenated
-               [merged-lane rows (PM) | unmerged rows (PU)] space.
-      okwords  (ceil((PM+PU)/32),) int32 — the full vote-gate bitmap, for
-               the (rare) host fallback when n_survivors > cap.
+               [n_survivors, 0, ...]. sidx indexes the concatenated lane
+               row space.
+      okwords  (ceil(sum(P_i)/32),) int32 — the full vote-gate bitmap,
+               for the (rare) host fallback when n_survivors > cap.
     """
     from .map_read import map_read_pass2
 
-    PM, PU = mbuf.shape[0], ubuf.shape[0]
     erow = exc[:, 0]
     ecol = exc[:, 1]
     inv = jnp.full(erow.shape, 255, jnp.uint8)
-    cm = unpack_seq2_jnp(mbuf, Wm).astype(jnp.uint8)
-    cm = cm.at[erow, ecol].set(inv, mode="drop")  # rows >= PM dropped
-    okm, h1m, l1m, h2m, l2m = map_read_pass1(
-        cm, mlens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
-        major_req, minor_req, kv, cbits, pos_bias,
-    )
-    cu = unpack_seq2_jnp(ubuf, L).astype(jnp.uint8)
-    uer = jnp.where(erow >= PM, erow - PM, PU)  # merged entries -> dropped
-    cu = cu.at[uer, ecol].set(inv, mode="drop")
-    oku, h1u, l1u, h2u, l2u = map_read_pass1(
-        cu, ulens, keys_tbl, vals_tbl, dupes, shift, max_dupe,
-        major_req, minor_req, kv, cbits, pos_bias,
-    )
-    N = PM + PU
-    ok = jnp.concatenate([okm, oku])
-    h1 = jnp.concatenate([h1m, h1u])
-    l1 = jnp.concatenate([l1m, l1u])
-    h2 = jnp.concatenate([h2m, h2u])
-    l2 = jnp.concatenate([l2m, l2u])
-    lens = jnp.concatenate([mlens, ulens])
+    codes_l, ok_l, gp_l = [], [], []
+    off = 0
+    for buf, ln, Wi in zip(bufs, lens_t, widths):
+        Pi = buf.shape[0]
+        ci = unpack_seq2_jnp(buf, Wi).astype(jnp.uint8)
+        # entries outside this lane's row range -> out of bounds -> dropped
+        ri = jnp.where((erow >= off) & (erow < off + Pi), erow - off, Pi)
+        ci = ci.at[ri, ecol].set(inv, mode="drop")
+        oki, h1i, l1i, h2i, l2i = map_read_pass1(
+            ci, ln, keys_tbl, vals_tbl, dupes, shift, max_dupe,
+            major_req, minor_req, kv, cbits, pos_bias,
+        )
+        codes_l.append(ci)
+        ok_l.append(oki)
+        gp_l.append((h1i, l1i, h2i, l2i))
+        off += Pi
+    N = off
+    ok = jnp.concatenate(ok_l)
+    h1 = jnp.concatenate([g[0] for g in gp_l])
+    l1 = jnp.concatenate([g[1] for g in gp_l])
+    h2 = jnp.concatenate([g[2] for g in gp_l])
+    l2 = jnp.concatenate([g[3] for g in gp_l])
+    lens = jnp.concatenate(lens_t)
     # stable survivor compaction: survivors first, in row order
     iota = jax.lax.iota(jnp.int32, N)
     order = jnp.argsort(jnp.where(ok, iota, N + iota))
@@ -498,8 +519,8 @@ def fused_scan_codes(
     sl2 = jnp.take(l2, sidx)
     # survivor code rows: gather from the UNPACKED, exception-applied
     # lane matrices (so the invalid markers carry through), unified to
-    # width W = max(Wm, L)
-    W = max(Wm, L)
+    # the widest lane
+    W = max(widths)
 
     def padc(a, w):
         if a.shape[1] == w:
@@ -507,7 +528,7 @@ def fused_scan_codes(
         fill = jnp.full((a.shape[0], w - a.shape[1]), 255, jnp.uint8)
         return jnp.concatenate([a, fill], axis=1)
 
-    allcodes = jnp.concatenate([padc(cm, W), padc(cu, W)], axis=0)
+    allcodes = jnp.concatenate([padc(ci, W) for ci in codes_l], axis=0)
     codes = jnp.take(allcodes, sidx, axis=0)
     res = map_read_pass2(
         codes, slens, sh1, sl1, sh2, sl2,

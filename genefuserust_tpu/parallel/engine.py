@@ -508,38 +508,82 @@ class TpuEngine:
         n_m = len(rows_m)
         n_u = len(rwork)
         w4 = (L + 3) // 4
-        # merged-lane length bucketing: trim to the batch's max merged
-        # length, rounded up to bound compiled-shape variants
-        Wm = _round_up(max(KMER, int(m_len[rows_m].max()) if n_m else KMER), 32)
-        wm4 = (Wm + 3) // 4
-        pm = self._pad_rows(n_m)
-        pu = self._pad_rows(n_u)
-        mb = np.zeros((pm, wm4), np.uint8)
-        mb[:n_m] = res["mbuf"][:, :wm4]
-        mlens = np.zeros(pm, np.int32)
-        mlens[:n_m] = m_len[rows_m]
-        ub = np.zeros((pu, w4), np.uint8)
-        ub[:n_u] = res["ubuf"]
-        ulens = np.zeros(pu, np.int32)
-        ulens[:n_u] = rwork[:, 2]
-        # non-ACGT exceptions, combined into the concat row space; pad
-        # entries point past both lanes and are scatter-dropped
+        mbuf, ubuf = res["mbuf"], res["ubuf"]
+        lens_m = m_len[rows_m]
+        # merged-lane length bucketing: a row costs samples(lane width)
+        # probes regardless of its true length, so merged rows split into
+        # a p95 width bucket and a max-width bucket (both rounded up to
+        # bound compiled-shape variants); with tight insert-size
+        # distributions the long lane holds only the tail
+        if n_m:
+            Wlong = _round_up(max(KMER, int(lens_m.max())), 32)
+            Wshort = min(
+                Wlong,
+                _round_up(max(KMER, int(np.percentile(lens_m, 95))), 32),
+            )
+        else:
+            Wshort = Wlong = 32
+        mask_s = lens_m <= Wshort
+        sel_s = np.nonzero(mask_s)[0]
+        sel_l = np.nonzero(~mask_s)[0]
+        # lanes: (kind, sel into the compacted m/u buffers, width)
+        lane_defs = [
+            ("m", sel_s, Wshort),
+            ("m", sel_l, Wlong),
+            ("u", np.arange(n_u), L),
+        ]
+        lane_meta = []
+        bufs, lens_arrs = [], []
+        offs = [0]
+        # local position of each compacted mbuf row within its lane (for
+        # exception remapping)
+        m_pos = np.zeros(max(n_m, 1), np.int64)
+        m_pos[sel_s] = np.arange(len(sel_s))
+        m_pos[sel_l] = np.arange(len(sel_l))
+        m_lane_off = np.zeros(max(n_m, 1), np.int64)
+        for kind, sel, W in lane_defs:
+            n_i = len(sel)
+            P = self._pad_rows(n_i)
+            wi4 = (W + 3) // 4
+            buf = np.zeros((P, wi4), np.uint8)
+            ln = np.zeros(P, np.int32)
+            if kind == "m":
+                if n_i:
+                    buf[:n_i] = mbuf[sel][:, :wi4]
+                    ln[:n_i] = lens_m[sel]
+                    m_lane_off[sel] = offs[-1]
+                pair_rows = rows_m[sel]
+            else:
+                if n_i:
+                    buf[:n_i] = ubuf
+                    ln[:n_i] = rwork[:, 2]
+                pair_rows = None
+            lane_meta.append(
+                dict(kind=kind, n=n_i, sel=sel, W=W, w4=wi4,
+                     pair_rows=pair_rows, off=offs[-1])
+            )
+            bufs.append(buf)
+            lens_arrs.append(ln)
+            offs.append(offs[-1] + P)
+        N = offs[-1]
+        # non-ACGT exceptions remapped into the concat row space; pad
+        # entries point past every lane and are scatter-dropped
         m_exc, u_exc = res["m_exc"], res["u_exc"]
         n_exc = len(m_exc) + len(u_exc)
         pe = max(32, self._pad_rows(n_exc))
-        exc = np.full((pe, 2), max(Wm, L), np.int32)
-        exc[:, 0] = pm + pu
-        exc[: len(m_exc)] = m_exc
+        exc = np.full((pe, 2), max(Wlong, L), np.int32)
+        exc[:, 0] = N
+        if len(m_exc):
+            exc[: len(m_exc), 0] = m_lane_off[m_exc[:, 0]] + m_pos[m_exc[:, 0]]
+            exc[: len(m_exc), 1] = m_exc[:, 1]
         if len(u_exc):
-            exc[len(m_exc) : n_exc, 0] = u_exc[:, 0] + pm
+            exc[len(m_exc) : n_exc, 0] = u_exc[:, 0] + offs[2]
             exc[len(m_exc) : n_exc, 1] = u_exc[:, 1]
         out = self._timed(
             "st0.upload",
             lambda: dict(
-                mb_d=self._put_batch(mb),
-                mlens_d=self._put_batch(mlens),
-                ub_d=self._put_batch(ub),
-                ulens_d=self._put_batch(ulens),
+                bufs_d=tuple(self._put_batch(b) for b in bufs),
+                lens_d=tuple(self._put_batch(x) for x in lens_arrs),
                 exc_d=self._put_repl(exc),
             ),
         )
@@ -548,15 +592,14 @@ class TpuEngine:
             m_len=m_len,
             rwork=rwork,
             exotic=res["exotic"],
-            mbuf=res["mbuf"],
-            ubuf=res["ubuf"],
-            m_exc=m_exc,
-            u_exc=u_exc,
+            mbuf=mbuf,
+            ubuf=ubuf,
+            exc_np=exc[:n_exc],
+            lane_meta=lane_meta,
+            offs=offs,
+            widths=tuple(w for _, _, w in lane_defs),
             n_m=n_m,
             n_u=n_u,
-            pm=pm,
-            pu=pu,
-            Wm=Wm,
             L=L,
         )
         return out
@@ -607,7 +650,7 @@ class TpuEngine:
     # ---- stage 0 advance: join producer, issue the one-dispatch scan ----
 
     def _st1_issue_scan(self, c) -> None:
-        from ..ops.fused import fused_scan_codes
+        from ..ops.fused import fused_scan_lanes
 
         st = self.settings
         sh = c["shared"]
@@ -616,17 +659,14 @@ class TpuEngine:
         c["scan_d"] = None
         c["okw_d"] = None
         if sh["n_m"] or sh["n_u"]:
-            out_d, okw_d = fused_scan_codes(
-                sh["mb_d"],
-                sh["mlens_d"],
-                sh["ub_d"],
-                sh["ulens_d"],
+            out_d, okw_d = fused_scan_lanes(
+                sh["bufs_d"],
+                sh["lens_d"],
                 sh["exc_d"],
                 tbl["keys"],
                 tbl["vals"],
                 tbl["dupes"],
-                Wm=sh["Wm"],
-                L=sh["L"],
+                widths=sh["widths"],
                 cap=self._surv_cap,
                 major_req=st.major_gene_key_requirement,
                 minor_req=st.minor_gene_key_requirement,
@@ -638,6 +678,20 @@ class TpuEngine:
         c["scan_f"] = _Fetch(c["scan_d"])
         c["stage"] = 1
 
+    @staticmethod
+    def _locate(sh, sidx: int):
+        """Map a concat-space survivor row to (pair_row, lane_flag) where
+        lane_flag 0 = merged, 1 = R1, 2 = R2."""
+        offs = sh["offs"]
+        rw = sh["rwork"]
+        for li, meta in enumerate(sh["lane_meta"]):
+            if sidx < offs[li + 1]:
+                local = sidx - offs[li]
+                if meta["kind"] == "m":
+                    return int(meta["pair_rows"][local]), 0
+                return int(rw[local, 0]), int(rw[local, 1])
+        raise IndexError(sidx)
+
     # ---- survivor-cap overflow: pass2 for survivors beyond `cap` ----
 
     def _p2_overflow(self, c, n_count: int):
@@ -645,7 +699,7 @@ class TpuEngine:
         missed (needs the ok-bitmap fetch; rare — the cap is ~20x the
         observed survivor rate). Returns rows shaped like the scan body:
         [sidx, 1, valid0, valid1, s0, s1, e0, e1, c0, c1, p0, p1, 0]."""
-        from ..ops.fused import fused_scan_codes
+        from ..ops.fused import fused_scan_lanes
 
         st = self.settings
         sh = c["shared"]
@@ -655,37 +709,34 @@ class TpuEngine:
             okw.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
         ).reshape(-1)
         sidx_all = np.nonzero(bits)[0]
-        tail = sidx_all[self._surv_cap :].astype(np.int32)
+        tail = sidx_all[self._surv_cap :].astype(np.int64)
         assert len(tail) == n_count - self._surv_cap
-        pm = sh["pm"]
+        offs = sh["offs"]
         rw = sh["rwork"]
-        W = max(sh["Wm"], sh["L"])
+        W = max(sh["widths"])
         ws4 = (W + 3) // 4
-        wm4 = (sh["Wm"] + 3) // 4
-        w4 = (sh["L"] + 3) // 4
         pb = self._pad_rows(len(tail))
         sbuf = np.zeros((pb, ws4), np.uint8)
         lens = np.zeros(pb, np.int32)
-        is_m = tail < pm
-        mrows = tail[is_m]
-        urows = tail[~is_m] - pm
-        km = np.nonzero(is_m)[0]
-        ku = np.nonzero(~is_m)[0]
-        # merged-lane rows index the compacted mbuf directly (rows < n_m)
-        sbuf[km, :wm4] = sh["mbuf"][mrows][:, :wm4]
-        lens[km] = sh["m_len"][sh["rows_m"][mrows]]
-        sbuf[ku, :w4] = sh["ubuf"][urows]
-        lens[ku] = rw[urows, 2]
+        for k, sidx in enumerate(tail.tolist()):
+            for li, meta in enumerate(sh["lane_meta"]):
+                if sidx < offs[li + 1]:
+                    local = sidx - offs[li]
+                    wi4 = meta["w4"]
+                    if meta["kind"] == "m":
+                        src = sh["mbuf"][meta["sel"][local]]
+                        lens[k] = sh["m_len"][meta["pair_rows"][local]]
+                    else:
+                        src = sh["ubuf"][local]
+                        lens[k] = rw[local, 2]
+                    sbuf[k, : len(src[:wi4])] = src[:wi4]
+                    break
         # remap this batch's non-ACGT exceptions onto the tail rows
         old_to_new = {int(t): k for k, t in enumerate(tail)}
         exc_list = [
             (old_to_new[int(r)], int(col))
-            for r, col in sh["m_exc"]
+            for r, col in sh["exc_np"]
             if int(r) in old_to_new
-        ] + [
-            (old_to_new[int(r) + pm], int(col))
-            for r, col in sh["u_exc"]
-            if int(r) + pm in old_to_new
         ]
         pe = max(32, self._pad_rows(len(exc_list)))
         exc = np.full((pe, 2), W, np.int32)
@@ -695,17 +746,14 @@ class TpuEngine:
         # the scan result does not carry per-row vote keys, so rerun
         # pass1+pass2 via the same scan kernel on just the tail rows
         # (identical votes -> identical segments)
-        out_t, _ = fused_scan_codes(
-            self._put_batch(sbuf),
-            self._put_batch(lens),
-            self._put_batch(np.zeros((8, w4), np.uint8)),
-            self._put_batch(np.zeros(8, np.int32)),
+        out_t, _ = fused_scan_lanes(
+            (self._put_batch(sbuf),),
+            (self._put_batch(lens),),
             self._put_repl(exc),
             tbl["keys"],
             tbl["vals"],
             tbl["dupes"],
-            Wm=W,
-            L=sh["L"],
+            widths=(W,),
             cap=pb,
             major_req=st.major_gene_key_requirement,
             minor_req=st.minor_gene_key_requirement,
@@ -757,19 +805,10 @@ class TpuEngine:
             rows = list(out[: min(n_count, self._surv_cap)])
             if n_count > self._surv_cap:
                 rows.extend(self._p2_overflow(c, n_count))
-            pm, n_m = sh["pm"], sh["n_m"]
-            rw = sh["rwork"]
             for r in rows:
                 if not (r[2] and r[3]):
                     continue
-                sidx = int(r[0])
-                if sidx < pm:
-                    i = int(sh["rows_m"][sidx])
-                    lane = 0
-                else:
-                    j = sidx - pm
-                    i = int(rw[j, 0])
-                    lane = int(rw[j, 1])
+                i, lane = self._locate(sh, int(r[0]))
                 mapping = [
                     SeqMatch(
                         int(r[4 + t]),
