@@ -4,13 +4,14 @@ Replaces the reference's producer/consumer thread pipeline
 (src/core/pescanner.rs:296-425) with a batched device pipeline:
 
   producer thread: FASTQ byte matrices -> native C++ overlap-merge
-        (gf_merge_pack_pe, bit-exact with fast_merge / read.rs:313-440)
-        -> lane compaction -> 4-bit code pack -> upload. Quality scores
+        (gf_merge_pack_pe2, bit-exact with fast_merge / read.rs:313-440)
+        -> width-bucketed lane compaction -> 2-bit code pack (+ non-ACGT
+        exception list) -> upload. Quality scores
         never leave the host; the device only receives the code rows it
         will scan (merged lane at the batch's bucketed width, live
         unmerged lanes at read width).
-  device (ONE dispatch, ops/fused.fused_scan_codes): vote pass over both
-        lanes -> on-device survivor compaction (stable sort by row) ->
+  device (ONE dispatch, ops/fused.fused_scan_lanes): vote pass over the
+        width-bucketed lanes -> on-device survivor compaction (stable sort by row) ->
         mask/segment pass over the first `cap` survivors. One small
         (cap+1, 13) fetch per batch; the full vote bitmap stays on device
         and is fetched only on (rare) capacity overflow.
@@ -19,8 +20,9 @@ Replaces the reference's producer/consumer thread pipeline
         accumulate into a DEFERRED batched RC retry (the only case the
         reference retries with the reverse complement —
         pescanner.rs:455-513), flushed at a threshold / engine flush.
-  Batches are interleaved through delay stages so each scan result gets
-  multiple batch-periods to cross the device/transfer pipe.
+  Assembly is readiness-gated: up to pipeline_depth batches ride the
+  device/transfer pipe concurrently. The single-end path uses the same
+  pipeline with one read lane.
 
 This shape is chosen for the device's actual strengths: the vote/segment
 passes are gather-bound HBM work the TPU does at full memory bandwidth,
@@ -415,10 +417,9 @@ class TpuEngine:
     def _scan_pair_matrices(
         self, mappers: List, b1, q1, l1, b2, q2, l2, pair_obj: Callable
     ) -> None:
-        """Staged pipeline: merge -> compacted pass1 (merged lane + R1/R2
-        lanes separately; merged pairs never pay the R lanes) -> combined
-        pass2 -> assembly. Stages of successive batches are interleaved so
-        fetches overlap younger batches' device work; engine.flush drains."""
+        """Paired-end pipeline entry: host merge on the producer thread ->
+        one-dispatch scan -> readiness-gated assembly (see module
+        docstring); engine.flush drains."""
         shared = dict(
             fut=self._submit_producer(
                 self._st0_produce, b1, q1, l1, b2, q2, l2
@@ -429,6 +430,9 @@ class TpuEngine:
             fetched=False,
             merged_read_cache={},
         )
+        self._enqueue_batch(shared, mappers)
+
+    def _enqueue_batch(self, shared: dict, mappers: List) -> None:
         for j, m in enumerate(mappers):
             self._queue.append(
                 dict(
@@ -779,22 +783,35 @@ class TpuEngine:
 
         mapper = c["mapper"]
         sh = c["shared"]
-        pair_obj = sh["pair_obj"]
-        merged_read_cache = sh["merged_read_cache"]
+        if sh.get("se"):
+            read_at = sh["read_at"]
 
-        def merged_read(i: int) -> SequenceRead:
-            if i not in merged_read_cache:
+            def read_for(i: int, lane: int) -> SequenceRead:
+                return read_at(i)
+
+            def originals(i: int) -> List[SequenceRead]:
+                return [read_at(i)]
+
+        else:
+            pair_obj = sh["pair_obj"]
+            merged_read_cache = sh["merged_read_cache"]
+
+            def merged_read(i: int) -> SequenceRead:
+                if i not in merged_read_cache:
+                    lr = pair_obj(i)
+                    m = SequenceReadPair(lr[0], lr[1]).fast_merge()
+                    assert m is not None, "device/host merge disagreement"
+                    merged_read_cache[i] = m
+                return merged_read_cache[i]
+
+            def read_for(i: int, lane: int) -> SequenceRead:
+                if lane == 0:
+                    return merged_read(i)
                 lr = pair_obj(i)
-                m = SequenceReadPair(lr[0], lr[1]).fast_merge()
-                assert m is not None, "device/host merge disagreement"
-                merged_read_cache[i] = m
-            return merged_read_cache[i]
+                return lr[0] if lane == 1 else lr[1]
 
-        def read_for(i: int, lane: int) -> SequenceRead:
-            if lane == 0:
-                return merged_read(i)
-            lr = pair_obj(i)
-            return lr[0] if lane == 1 else lr[1]
+            def originals(i: int) -> List[SequenceRead]:
+                return list(pair_obj(i))
 
         ed = EdBatcher()
         retry: List[Tuple[int, int, SequenceRead]] = []
@@ -820,7 +837,7 @@ class TpuEngine:
                 if mapper.indexer.in_required_direction(mapping):
                     rd = read_for(i, lane)
                     m = mapper.make_match(rd, mapping, ed_batcher=ed)
-                    m.original_reads = list(pair_obj(i))
+                    m.original_reads = originals(i)
                     mapper.add_match(m)
                 else:
                     retry.append((i, lane, read_for(i, lane).reverse_complement()))
@@ -833,7 +850,7 @@ class TpuEngine:
                 "st3.retry_enqueue",
                 lambda: self._enqueue_retries(
                     mapper,
-                    [(lane, rc, list(pair_obj(i))) for i, lane, rc in retry],
+                    [(lane, rc, originals(i)) for i, lane, rc in retry],
                 ),
             )
         self._timed("st3.ed_flush", ed.flush)
@@ -907,22 +924,86 @@ class TpuEngine:
             mapper.add_match(m)
 
     def _scan_single_matrices(self, mapper, rows, lens, read_at: Callable) -> None:
+        """Single-end pipeline entry: same one-dispatch scan + readiness-
+        gated assembly as the paired path, with a single read lane (no
+        merge; the host pack is vectorized numpy)."""
         rows = np.ascontiguousarray(rows)
-        L = _round_up(max(32, rows.shape[1]), 32)
-        if rows.shape[1] != L:
-            out = np.zeros((rows.shape[0], L), rows.dtype)
-            out[:, : rows.shape[1]] = rows
-            rows = out
-        lens = np.asarray(lens, np.int32)
-        meta_lane = np.ones(len(lens), np.int8)
-        self._assemble(
-            mapper,
-            rows,
-            lens,
-            lambda j: read_at(j),
-            lambda j: [read_at(j)],
-            meta_lane,
+        lens = np.asarray(lens, np.int32).copy()
+        shared = dict(
+            fut=self._submit_producer(self._st0_produce_se, rows, lens),
+            mappers=[mapper],
+            read_at=read_at,
+            se=True,
+            orig_B=len(lens),
+            fetched=False,
+            merged_read_cache={},
         )
+        self._enqueue_batch(shared, [mapper])
+
+    def _st0_produce_se(self, rows, lens):
+        """Single-end producer: 2-bit pack + non-ACGT exception capture
+        (vectorized numpy — no merge to do) + upload. One 'u'-kind lane;
+        exotic bytes need no oracle routing here (without a merge the
+        byte-level comparison path never runs, so invalid-code semantics
+        are already identical to the oracle's k-mer encoding)."""
+        B, Lin = rows.shape
+        L = _round_up(max(32, Lin), 32)
+        w4 = (L + 3) // 4
+        codes = BASE_CODE_LUT[rows]
+        col = np.arange(Lin)[None, :]
+        in_span = col < lens[:, None]
+        er, ec = np.nonzero((codes == 255) & in_span)
+        codes = np.where(codes == 255, 0, codes).astype(np.uint8)
+        if Lin != 4 * w4:
+            pad = np.zeros((B, 4 * w4 - Lin), np.uint8)
+            codes = np.concatenate([codes, pad], axis=1)
+        packed = (
+            codes[:, 0::4]
+            | (codes[:, 1::4] << 2)
+            | (codes[:, 2::4] << 4)
+            | (codes[:, 3::4] << 6)
+        )
+        P = self._pad_rows(B)
+        buf = np.zeros((P, w4), np.uint8)
+        buf[:B] = packed
+        ln = np.zeros(P, np.int32)
+        ln[:B] = lens
+        rwork = np.stack(
+            [np.arange(B, dtype=np.int32), np.ones(B, np.int32), lens], axis=1
+        )
+        n_exc = len(er)
+        pe = max(32, self._pad_rows(n_exc))
+        exc = np.full((pe, 2), L, np.int32)
+        exc[:, 0] = P
+        exc[:n_exc, 0] = er
+        exc[:n_exc, 1] = ec
+        out = self._timed(
+            "st0.upload",
+            lambda: dict(
+                bufs_d=(self._put_batch(buf),),
+                lens_d=(self._put_batch(ln),),
+                exc_d=self._put_repl(exc),
+            ),
+        )
+        out.update(
+            rows_m=np.zeros(0, np.int64),
+            m_len=np.zeros(B, np.int32),
+            rwork=rwork,
+            exotic=np.zeros(B, bool),
+            mbuf=np.zeros((0, 1), np.uint8),
+            ubuf=packed,
+            exc_np=exc[:n_exc],
+            lane_meta=[
+                dict(kind="u", n=B, sel=np.arange(B), W=L, w4=w4,
+                     pair_rows=None, off=0)
+            ],
+            offs=[0, P],
+            widths=(L,),
+            n_m=0,
+            n_u=B,
+            L=L,
+        )
+        return out
 
     # ------------- map + assemble -------------
 
@@ -978,39 +1059,3 @@ class TpuEngine:
         sp[surv] = np.asarray(res.seg_pos)[:k]
         return sv, ss, se, sc, sp
 
-    def _assemble(
-        self, mapper, rows, lens, read_obj: Callable, originals: Callable, meta_lane
-    ) -> None:
-        if len(lens) == 0:
-            return
-        from .ed_batch import EdBatcher
-
-        ed = EdBatcher()
-        tbl = self._table_entry(mapper)
-        sv, ss, se, sc, sp = self._run_map(rows, lens, tbl)
-        hits = np.nonzero(sv[:, 0] & sv[:, 1])[0]
-        retry: List[Tuple[int, SequenceRead]] = []
-        for j in hits.tolist():
-            mapping = [
-                SeqMatch(
-                    int(ss[j, t]), int(se[j, t]), GenePos(int(sc[j, t]), int(sp[j, t]))
-                )
-                for t in range(2)
-            ]
-            if mapper.indexer.in_required_direction(mapping):
-                r = read_obj(j)
-                m = mapper.make_match(r, mapping, ed_batcher=ed)
-                m.original_reads = originals(j)
-                mapper.add_match(m)
-            else:
-                retry.append((j, read_obj(j).reverse_complement()))
-
-        if retry:
-            self._retry(
-                mapper,
-                tbl,
-                [(j, int(meta_lane[j]), rc) for j, rc in retry],
-                lambda j: originals(j),
-                ed,
-            )
-        ed.flush()
