@@ -389,7 +389,7 @@ def main():
     ap.add_argument("--panel-mbp", type=float, default=15.2)
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--pairs", type=int, default=524288)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--read-len", type=int, default=None,
                     help="default: 151 (real profile) / 150 (clean)")
     ap.add_argument("--profile", choices=["real", "clean"], default="real",

@@ -139,7 +139,7 @@ class TpuEngine:
     tests/test_mesh_engine.py)."""
 
     def __init__(self, settings: Settings, batch_size: int = 65536, mesh=None,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 6):
         self.settings = settings
         self.batch_size = batch_size
         self.mesh = mesh
