@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="file name to store JSON report, default is genefuse.json",
     )
     p.add_argument(
-        "-t", "--thread", type=int, default=4, help="worker thread number, default 4"
+        "-t", "--thread", type=int, default=None, help="worker thread number, default 4"
     )
     p.add_argument(
         "-d",

@@ -30,7 +30,7 @@ class RunConfig:
     html: str
     json: str
     ref_file: str
-    thread_num: int = 4
+    thread_num: Optional[int] = None
     settings: Settings = dataclasses.field(default_factory=Settings)
     engine: str = "tpu"
     index_cache_dir: str = ""
@@ -60,7 +60,7 @@ def check_file_valid(path: str) -> None:
 
 
 def make_engine(kind: str, settings: Settings, mesh: str = "auto",
-                thread_num: int = 4):
+                thread_num=None):
     if kind == "host":
         from .core.scanner import HostEngine
 
@@ -85,7 +85,8 @@ def make_engine(kind: str, settings: Settings, mesh: str = "auto",
     return TpuEngine(
         settings,
         mesh=_resolve_mesh(mesh),
-        pipeline_depth=max(2, min(16, thread_num)),
+        # -t maps to the in-flight batch bound; unset -> the tuned default
+        pipeline_depth=(6 if thread_num is None else max(2, min(16, thread_num))),
     )
 
 
