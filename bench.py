@@ -438,23 +438,12 @@ def main():
 
     block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
 
-    # warmup (compiles)
+    # warmup: scan the WHOLE block once so every per-batch shape variant
+    # (lane pads, width buckets, exception pads) is compiled/loaded before
+    # the timed iterations — a fresh process pays executable reload per
+    # variant otherwise, polluting the first iteration
     t0 = time.time()
-    warm = _BenchPairBlock(
-        _BenchBlock(
-            block.left.seq[: args.batch],
-            block.left.qual[: args.batch],
-            block.left.lens[: args.batch],
-            "L",
-        ),
-        _BenchBlock(
-            block.right.seq[: args.batch],
-            block.right.qual[: args.batch],
-            block.right.lens[: args.batch],
-            "R",
-        ),
-    )
-    engine.scan_pair_block(mapper, warm)
+    engine.scan_pair_block(mapper, block)
     engine.flush(mapper)
     print(f"# warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
