@@ -1,5 +1,11 @@
 """Host-side stage timing of the real engine pipeline on the chip.
 
+NOTE (post readiness-gated scheduler): with pipeline_depth >= the number
+of batches in the harness block, everything assembles in flush() and the
+reported rate measures pipeline FILL+DRAIN, not steady state — use
+bench.py (5x8-batch iterations) for throughput; this harness is for
+stage-cost decomposition only.
+
 Unlike profile_ab.py (pure kernel time), this measures where WALL time
 goes per batch in TpuEngine: stage issue costs (host pack + upload +
 dispatch) and stage fetch costs (blocking np.asarray), plus host

@@ -28,7 +28,7 @@ def _strip_ts(text: str) -> str:
     return _TS.sub("<ts>", text)
 
 
-def _scan(panel, csv_path, pairs, tmp_path, tag, batch_size):
+def _scan(panel, csv_path, pairs, tmp_path, tag, batch_size, depth=6):
     html = tmp_path / f"{tag}.html"
     json = tmp_path / f"{tag}.json"
     scanner = Scanner(
@@ -37,7 +37,7 @@ def _scan(panel, csv_path, pairs, tmp_path, tag, batch_size):
         str(html),
         str(json),
         Settings(),
-        engine=TpuEngine(Settings(), batch_size=batch_size),
+        engine=TpuEngine(Settings(), batch_size=batch_size, pipeline_depth=depth),
         command="determinism-test",
     )
     scanner.scan_pairs(pairs)
@@ -72,3 +72,14 @@ def test_read_order_invariance(workload, tmp_path):
         rng.shuffle(shuffled)
         _, j = _scan(panel, csv_path, shuffled, tmp_path, f"shuf{trial}", 64)
         assert j == ref_json, f"JSON differs after shuffle #{trial}"
+
+
+def test_pipeline_depth_invariance(workload, tmp_path):
+    """The readiness-gated scheduler's in-flight bound must not affect
+    results: depth 1 (near-synchronous) == depth 6 (deep pipeline)."""
+    panel, pairs = workload
+    _, csv_path = write_panel_files(panel, str(tmp_path))
+    _, ref_json = _scan(panel, csv_path, pairs, tmp_path, "d6", 64, depth=6)
+    for d in (1, 2):
+        _, j = _scan(panel, csv_path, pairs, tmp_path, f"d{d}", 64, depth=d)
+        assert j == ref_json, f"JSON differs at pipeline_depth={d}"
