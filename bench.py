@@ -85,25 +85,30 @@ def get_mapper(panel_mbp: float):
     )
 
 
-def get_packed(mapper, panel_mbp: float):
-    """KV-layout device table (ops/hashtable.PackedIndexKV), mmap-cached."""
-    from genefuserust_tpu.ops.hashtable import PackedIndexKV, pack_index_kv
+def get_packed(mapper, panel_mbp: float, layout: str = "kv16"):
+    """Device table (PackedIndexKV16 single-gather by default, or
+    PackedIndexKV for --layout kv8 A/B runs), mmap-cached."""
+    from genefuserust_tpu.ops.hashtable import (
+        PackedIndexKV, PackedIndexKV16, pack_index_kv, pack_index_kv16,
+    )
 
-    base = os.path.join(CACHE, f"packed_{panel_mbp:g}_v4kv")
+    cls, builder = (
+        (PackedIndexKV16, pack_index_kv16)
+        if layout == "kv16"
+        else (PackedIndexKV, pack_index_kv)
+    )
+    suffix = "v5kv16" if layout == "kv16" else "v4kv"
+    base = os.path.join(CACHE, f"packed_{panel_mbp:g}_{suffix}")
     if os.path.exists(base + "_meta.npy"):
         meta = np.load(base + "_meta.npy")
-        return PackedIndexKV(
+        return cls(
             np.load(base + "_kv.npy", mmap_mode="r"),
             np.load(base + "_dupes.npy", mmap_mode="r"),
-            int(meta[0]),
-            int(meta[1]),
-            int(meta[2]),
-            int(meta[3]),
-            int(meta[4]),
-            int(meta[5]),
+            int(meta[0]), int(meta[1]), int(meta[2]),
+            int(meta[3]), int(meta[4]), int(meta[5]),
         )
     t0 = time.time()
-    packed = pack_index_kv(mapper.indexer)
+    packed = builder(mapper.indexer)
     assert packed is not None, "bench panel must fit the KV payload budget"
     print(
         f"# pack: {time.time() - t0:.1f}s, {packed.nbytes / 1e6:.0f} MB",
@@ -396,6 +401,10 @@ def main():
                     help="read workload: 'real' = error/insert-size model "
                     "calibrated to the reference testdata (default); "
                     "'clean' = round-1 error-free fixed-length workload")
+    ap.add_argument("--layout", choices=["kv8", "kv16"], default="kv8",
+                    help="device table layout: kv8 = 2-gather combined-KV "
+                    "rows (default, measured fastest), kv16 = single-gather "
+                    "16-wide rows (measured slower; kept for A/B)")
     ap.add_argument(
         "--multi-csv",
         type=int,
@@ -429,7 +438,7 @@ def main():
 
     t0 = time.time()
     mapper = get_mapper(args.panel_mbp)
-    packed = get_packed(mapper, args.panel_mbp)
+    packed = get_packed(mapper, args.panel_mbp, args.layout)
     print(f"# mapper+index ready: {time.time() - t0:.1f}s", file=sys.stderr)
 
     engine = TpuEngine(Settings(), batch_size=args.batch)

@@ -114,6 +114,48 @@ class PackedIndexKV:
         return self.kv_tbl.nbytes + self.dupes.nbytes
 
 
+KV16_SLOTS = 8  # slots per bucket in the single-gather row layout
+OVF_PAYLOAD = 1  # tag 0, val 1 in payload slot 7 marks an overflowed bucket
+
+
+@dataclasses.dataclass
+class PackedIndexKV16:
+    """Single-gather table: one 16xint32 row per bucket holds 8 slots of
+    [key | packed payload] (same payload encoding as PackedIndexKV), and
+    each key lives in its h1 bucket — a lookup is ONE random row gather.
+
+    Buckets whose h1 population exceeds 8 keys keep 7 inline, carry the
+    overflow marker (key slot 7 = the absent-key sentinel with payload
+    OVF_PAYLOAD), and spill the rest into free slots of their h2 buckets;
+    only queries that MISS a marked row take a second gather, and the
+    kernel clamps all other rows' second-probe index to row 0 (mostly-
+    constant gather indices are near-free — measured end to end, see
+    PERF.md). Key equality implies hash equality, so clamped probes can
+    never produce false matches.
+
+    Falls back to PackedIndexKV when spill placement fails repeatedly or
+    the payload bit budget is exceeded (see pack_index_kv16).
+
+    STATUS: correct and equality-tested, but measured SLOWER than the
+    2-gather PackedIndexKV end to end (90.2k vs 125.3k pairs/s, same
+    session) — 16xint32 rows gather at ~2-3x the cost of 8xint32 rows on
+    this TPU. Kept as an A/B layout (bench.py --layout kv16 /
+    GENEFUSE_TABLE_LAYOUT=kv16); not the default."""
+
+    kv_tbl: np.ndarray  # (nb, 16) int32: [k0..k7 | p0..p7]
+    dupes: np.ndarray  # (nd, 8) int32 packed payloads
+    n_buckets: int
+    shift: int
+    cbits: int
+    pos_bias: int
+    max_dupe: int
+    empty_key: int
+
+    @property
+    def nbytes(self) -> int:
+        return self.kv_tbl.nbytes + self.dupes.nbytes
+
+
 def _encode_payload(contigs, poss, pbits: int, pos_bias: int) -> np.ndarray:
     """(contig, pos) int32 arrays -> packed uint32 payload (as int32 bit
     pattern). contig sentinels: EMPTY->tag 0, HIGH->1, DUPE->2 (val=pos=
@@ -129,10 +171,10 @@ def _encode_payload(contigs, poss, pbits: int, pos_bias: int) -> np.ndarray:
     return ((tag << np.uint32(pbits)) | val).astype(np.uint32).view(np.int32)
 
 
-def pack_index_kv(indexer):
-    """Build the combined key+value device table, or return None when the
-    panel exceeds the packed-payload bit budget (then use pack_index)."""
-    keys, contigs, poss, dupes, max_dupe = _entries_from_indexer(indexer)
+def _kv_budget(contigs, poss, dupes, max_dupe):
+    """Packed-payload bit budget shared by the KV layouts: -> (cbits,
+    pbits, pos_bias), or None when the panel geometry exceeds it (too many
+    contigs / too wide a position span / dupe lists longer than a row)."""
     n_contigs = int(contigs.max()) + 1 if len(contigs) else 0
     cbits = max(4, int(n_contigs + 3).bit_length())
     pbits = 32 - cbits
@@ -147,6 +189,18 @@ def pack_index_kv(indexer):
     span = int(pos_cat.max()) - pos_bias if pos_cat.size else 0
     if span >= (1 << pbits) or n_dup >= (1 << pbits) or max_dupe > 8:
         return None
+    return cbits, pbits, pos_bias
+
+
+def pack_index_kv(indexer):
+    """Build the combined key+value device table, or return None when the
+    panel exceeds the packed-payload bit budget (then use pack_index)."""
+    keys, contigs, poss, dupes, max_dupe = _entries_from_indexer(indexer)
+    budget = _kv_budget(contigs, poss, dupes, max_dupe)
+    if budget is None:
+        return None
+    cbits, pbits, pos_bias = budget
+    n_dup = dupes.shape[0]
 
     from .. import native
 
@@ -201,6 +255,142 @@ def lookup_np_kv(packed: PackedIndexKV, kmers: np.ndarray):
         pay |= np.where(
             match, rows[..., KV_SLOTS:].astype(np.uint32), np.uint32(0)
         ).sum(-1, dtype=np.uint32)
+    tag = (pay >> np.uint32(pbits)).astype(np.int32)
+    val = (pay & np.uint32((1 << pbits) - 1)).astype(np.int64)
+    out_c = np.where(
+        tag == 0, EMPTY, np.where(tag == 1, HIGH, np.where(tag == 2, DUPE, tag - 3))
+    ).astype(np.int32)
+    out_p = np.where(
+        tag >= 3, val + packed.pos_bias, np.where(tag == 2, val, 0)
+    ).astype(np.int32)
+    return out_c, out_p
+
+
+def _place_kv16(keys: np.ndarray, nb: int, shift: int):
+    """Single-hash placement with h2 spill: -> (bucket, slot, ovf_mask) or
+    None when some spill key's h2 bucket has no free slot (caller doubles
+    nb). Inline order within a bucket follows the deterministic key order
+    from _entries_from_indexer; spills are placed in that same order."""
+    n = len(keys)
+    b1 = h1_np(keys, shift)
+    counts = np.bincount(b1, minlength=nb)
+    ovf = counts > KV16_SLOTS
+    cap = np.where(ovf, KV16_SLOTS - 1, KV16_SLOTS).astype(np.int64)
+    order = np.argsort(b1, kind="stable")
+    ob = b1[order]
+    first = np.concatenate([[True], ob[1:] != ob[:-1]]) if n else np.zeros(0, bool)
+    idx = np.arange(n)
+    run_start = np.maximum.accumulate(np.where(first, idx, -1)) if n else idx
+    rank = idx - run_start
+    inline = rank < cap[ob]
+    out_b = np.full(n, -1, np.int64)
+    out_s = np.full(n, -1, np.int64)
+    out_b[order[inline]] = ob[inline]
+    out_s[order[inline]] = rank[inline]
+    used = np.minimum(counts.astype(np.int64), cap)
+    spill = order[~inline]
+    if len(spill):
+        spill = np.sort(spill)  # deterministic: original entry order
+        b2 = h2_np(keys[spill], shift)
+        for i, b in zip(spill.tolist(), b2.tolist()):
+            if used[b] >= cap[b]:
+                return None
+            out_b[i] = b
+            out_s[i] = used[b]
+            used[b] += 1
+    return out_b, out_s, ovf
+
+
+def pack_index_kv16(indexer, target_load: float = 4.0, max_buckets: int = 1 << 26):
+    """Build the single-gather device table (PackedIndexKV16), or return
+    None when the panel exceeds the payload bit budget or placement cannot
+    fit under `max_buckets` rows (then fall back to pack_index_kv)."""
+    keys, contigs, poss, dupes, max_dupe = _entries_from_indexer(indexer)
+    budget = _kv_budget(contigs, poss, dupes, max_dupe)
+    if budget is None:
+        return None
+    cbits, pbits, pos_bias = budget
+    n_dup = dupes.shape[0]
+
+    nb = 16
+    while nb * target_load < max(len(keys), 1):
+        nb *= 2
+    placed = None
+    while nb <= max_buckets:
+        shift = 32 - int(round(np.log2(nb)))
+        placed = _place_kv16(keys, nb, shift)
+        if placed is not None:
+            break
+        nb *= 2
+    if placed is None:
+        return None
+    out_b, out_s, ovf = placed
+
+    sentinel = _absent_key(keys)
+    s32 = np.int32(sentinel - (1 << 32) if sentinel >= 1 << 31 else sentinel)
+    tkeys = np.full((nb, KV16_SLOTS), s32, np.int32)
+    payload = np.zeros((nb, KV16_SLOTS), np.int32)
+    payload[ovf, KV16_SLOTS - 1] = OVF_PAYLOAD
+    tkeys[out_b, out_s] = keys.astype(np.int32)
+    payload[out_b, out_s] = _encode_payload(contigs, poss, pbits, pos_bias)
+    kv_tbl = np.concatenate([tkeys, payload], axis=1).astype(np.int32)
+
+    dupes_packed = np.zeros((max(1, n_dup), 8), np.int32)
+    if n_dup:
+        D = dupes.shape[1]
+        dupes_packed[:, :D] = _encode_payload(
+            dupes[:, :, 0].ravel(), dupes[:, :, 1].ravel(), pbits, pos_bias
+        ).reshape(n_dup, D)
+    return PackedIndexKV16(
+        kv_tbl, dupes_packed, nb, shift, cbits, pos_bias, max_dupe, sentinel
+    )
+
+
+def build_packed_index(indexer, layout: str = None):
+    """Build the device table in the preferred layout with fallbacks:
+    kv (two gathers, the measured-fastest default) -> split (three
+    gathers). `layout` or the GENEFUSE_TABLE_LAYOUT env var ('kv16' |
+    'kv8' | 'split') pins a layout for perf A/B runs; unavailable layouts
+    still fall through so a forced choice can never fail a run.
+
+    kv16 (single gather per query) is correct and equality-tested but
+    measured SLOWER end to end (90.2k vs 125.3k pairs/s, same session,
+    bench.py --layout A/B): 16xint32 rows gather at ~2-3x the cost of
+    8xint32 rows on this TPU, outweighing the halved probe count. See
+    PERF.md 'Negative results'."""
+    import os
+
+    layout = layout or os.environ.get("GENEFUSE_TABLE_LAYOUT", "auto")
+    if layout == "kv16":
+        p = pack_index_kv16(indexer)
+        if p is not None:
+            return p
+    if layout in ("auto", "kv16", "kv8"):
+        p = pack_index_kv(indexer)
+        if p is not None:
+            return p
+    return pack_index(indexer)
+
+
+def lookup_np_kv16(packed: PackedIndexKV16, kmers: np.ndarray):
+    """Numpy KV16 lookup (test oracle for the device path): (contig, pos)
+    with the same conventions as lookup_np."""
+    pbits = 32 - packed.cbits
+    ki = kmers.astype(np.uint32).astype(np.int32)
+    r1 = packed.kv_tbl[h1_np(kmers, packed.shift)]  # (..., 16)
+    m1 = r1[..., :KV16_SLOTS] == ki[..., None]
+    pay = np.where(m1, r1[..., KV16_SLOTS:].astype(np.uint32), np.uint32(0)).sum(
+        -1, dtype=np.uint32
+    )
+    flagged = r1[..., 2 * KV16_SLOTS - 1] == OVF_PAYLOAD
+    need2 = flagged & (pay == 0)
+    b2 = np.where(need2, h2_np(kmers, packed.shift), 0)
+    r2 = packed.kv_tbl[b2]
+    m2 = r2[..., :KV16_SLOTS] == ki[..., None]
+    pay2 = np.where(m2, r2[..., KV16_SLOTS:].astype(np.uint32), np.uint32(0)).sum(
+        -1, dtype=np.uint32
+    )
+    pay |= np.where(need2, pay2, np.uint32(0))
     tag = (pay >> np.uint32(pbits)).astype(np.int32)
     val = (pay & np.uint32((1 << pbits) - 1)).astype(np.int64)
     out_c = np.where(

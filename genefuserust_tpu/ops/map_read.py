@@ -149,6 +149,52 @@ def cbits_shift(pbits: int):
     return jnp.uint32(pbits)
 
 
+def kv16_lookup(kv_tbl: jnp.ndarray, shift: int, cbits: int, pos_bias: int,
+                kmers: jnp.ndarray, valid: jnp.ndarray):
+    """Single-gather lookup (ops/hashtable.PackedIndexKV16 layout): each
+    16xint32 row holds 8 [key | payload] slots and every key lives in its
+    h1 bucket, so the hot path is ONE random row gather per query. Rows
+    whose h1 population overflowed at pack time carry a marker payload in
+    slot 7; only queries that MISS such a row probe their h2 bucket — all
+    other queries' second-gather index is clamped to row 0 (mostly-constant
+    indices gather near-free; key equality implies hash equality, so the
+    clamp can never produce a false match — see PackedIndexKV16)."""
+    from .hashtable import KV16_SLOTS, OVF_PAYLOAD
+
+    S = KV16_SLOTS
+    pbits = 32 - cbits
+    ki = kmers.astype(jnp.int32)
+    k = kmers
+    b1 = ((k * jnp.uint32(0x9E3779B1)) >> shift).astype(jnp.int32)
+    b1 = jnp.where(valid, b1, 0)  # invalid -> row 0 (see kv_lookup)
+    r1 = jnp.take(kv_tbl, b1, axis=0)  # (..., 16)
+    m1 = r1[..., :S] == ki[..., None]
+    # at most one NONZERO payload can match (keys unique; empty slots carry
+    # the absent-key sentinel with payload 0, the overflow marker payload
+    # OVF_PAYLOAD decodes to tag 0 = miss)
+    pay = jnp.where(m1, r1[..., S:], 0).sum(-1)
+    flagged = r1[..., 2 * S - 1] == OVF_PAYLOAD
+    need2 = valid & flagged & (pay == 0)
+    b2 = (
+        ((k ^ (k >> 15)) * jnp.uint32(0x85EBCA6B) + jnp.uint32(0xC2B2AE35)) >> shift
+    ).astype(jnp.int32)
+    b2 = jnp.where(need2, b2, 0)
+    r2 = jnp.take(kv_tbl, b2, axis=0)
+    m2 = r2[..., :S] == ki[..., None]
+    pay2 = jnp.where(m2, r2[..., S:], 0).sum(-1)
+    pay = pay | jnp.where(need2, pay2, 0)
+    tag = (pay.astype(jnp.uint32) >> cbits_shift(pbits)).astype(jnp.int32)
+    val = pay & ((1 << pbits) - 1)
+    contig = jnp.where(
+        tag == 0,
+        EMPTY,
+        jnp.where(tag == 1, HIGH, jnp.where(tag == 2, DUPE, tag - 3)),
+    )
+    pos = jnp.where(tag >= 3, val + pos_bias, jnp.where(tag == 2, val, 0))
+    contig = jnp.where(valid, contig, EMPTY)
+    return contig, pos
+
+
 def expand_candidates_kv(contig, pos, dupes_packed: jnp.ndarray,
                          max_dupe: int, cbits: int, pos_bias: int):
     """KV-layout candidate expansion: dupe rows are 8 packed payloads
@@ -175,10 +221,15 @@ def expand_candidates_kv(contig, pos, dupes_packed: jnp.ndarray,
 
 
 def lookup_expand(keys_tbl, vals_tbl, dupes, shift: int, max_dupe: int,
-                  kv: bool, cbits: int, pos_bias: int, kmers, valid):
-    """Layout dispatch (static): split layout (keys_tbl + vals_tbl + dupe
-    pair rows) vs KV layout (keys_tbl holds combined rows, vals_tbl is a
-    dummy, dupes holds packed payload rows)."""
+                  kv, cbits: int, pos_bias: int, kmers, valid):
+    """Layout dispatch (static): kv=False -> split layout (keys_tbl +
+    vals_tbl + dupe pair rows); kv=True/1 -> PackedIndexKV combined rows
+    (two gathers); kv=2 -> PackedIndexKV16 single-gather rows. For the KV
+    layouts keys_tbl holds the combined rows, vals_tbl is a dummy, and
+    dupes holds packed payload rows."""
+    if kv == 2:
+        contig, pos = kv16_lookup(keys_tbl, shift, cbits, pos_bias, kmers, valid)
+        return expand_candidates_kv(contig, pos, dupes, max_dupe, cbits, pos_bias)
     if kv:
         contig, pos = kv_lookup(keys_tbl, shift, cbits, pos_bias, kmers, valid)
         return expand_candidates_kv(contig, pos, dupes, max_dupe, cbits, pos_bias)

@@ -227,8 +227,10 @@ class TpuEngine:
         if hasattr(packed, "kv_tbl"):
             keys = self._put_repl(packed.kv_tbl)
             vals = self._put_repl(np.zeros((1, 2), np.int32))  # unused
+            # 16-wide rows = single-gather KV16 layout, 8-wide = 2-gather KV
+            kv = 2 if packed.kv_tbl.shape[1] == 16 else True
             statics = dict(
-                shift=packed.shift, max_dupe=packed.max_dupe, kv=True,
+                shift=packed.shift, max_dupe=packed.max_dupe, kv=kv,
                 cbits=packed.cbits, pos_bias=packed.pos_bias,
             )
         else:
@@ -258,11 +260,9 @@ class TpuEngine:
         if self._default_entry is not None and self._prepared_for is mapper:
             self._tables[key] = self._default_entry
             return self._default_entry
-        from ..ops.hashtable import pack_index, pack_index_kv
+        from ..ops.hashtable import build_packed_index
 
-        packed = pack_index_kv(mapper.indexer)
-        if packed is None:  # panel exceeds the KV payload bit budget
-            packed = pack_index(mapper.indexer)
+        packed = build_packed_index(mapper.indexer)
         e = self._entry_from_packed(packed)
         self._tables[key] = e
         log.info(

@@ -16,6 +16,7 @@ from genefuserust_tpu.ops.hashtable import (
     lookup_np_kv,
     pack_index,
     pack_index_kv,
+    pack_index_kv16,
 )
 from genefuserust_tpu.utils.synthetic import make_panel, plant_fusion_pairs, write_panel_files
 
@@ -50,6 +51,12 @@ def run_device(ix, reads, L=None, layout="split"):
         tbl1 = jnp.asarray(packed.kv_tbl)
         tbl2 = jnp.zeros((1, 2), jnp.int32)
         statics = dict(kv=True, cbits=packed.cbits, pos_bias=packed.pos_bias)
+    elif layout == "kv16":
+        packed = pack_index_kv16(ix)
+        assert packed is not None, "panel should fit the KV16 layout"
+        tbl1 = jnp.asarray(packed.kv_tbl)
+        tbl2 = jnp.zeros((1, 2), jnp.int32)
+        statics = dict(kv=2, cbits=packed.cbits, pos_bias=packed.pos_bias)
     else:
         packed = pack_index(ix)
         tbl1 = jnp.asarray(packed.keys_tbl)
@@ -153,6 +160,7 @@ def test_device_matches_oracle_basic(tmp_path):
     exp = oracle_segs(ix, reads)
     assert run_device(ix, reads) == exp
     assert run_device(ix, reads, layout="kv") == exp
+    assert run_device(ix, reads, layout="kv16") == exp
 
 
 def test_kv_table_roundtrip(tmp_path):
@@ -225,6 +233,7 @@ def test_device_matches_oracle_with_dupes(tmp_path):
     exp = oracle_segs(ix, reads)
     assert run_device(ix, reads) == exp
     assert run_device(ix, reads, layout="kv") == exp
+    assert run_device(ix, reads, layout="kv16") == exp
 
 
 def test_device_matches_oracle_tinyref_panel(tmp_path, refdata):
@@ -251,3 +260,4 @@ def test_device_matches_oracle_tinyref_panel(tmp_path, refdata):
     exp = oracle_segs(ix, reads)
     assert run_device(ix, reads) == exp
     assert run_device(ix, reads, layout="kv") == exp
+    assert run_device(ix, reads, layout="kv16") == exp
