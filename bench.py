@@ -85,19 +85,26 @@ def get_mapper(panel_mbp: float):
     )
 
 
-def get_packed(mapper, panel_mbp: float, layout: str = "kv16"):
-    """Device table (PackedIndexKV16 single-gather by default, or
-    PackedIndexKV for --layout kv8 A/B runs), mmap-cached."""
+def get_packed(mapper, panel_mbp: float, layout: str = "kv8",
+               kv_load: float = 0.7):
+    """Device table (PackedIndexKV 2-gather rows by default; kvs/kv16
+    single-probe layouts for --layout A/B runs), mmap-cached. `kv_load`
+    tunes the kv8 table's load factor (smaller table = faster gathers)."""
+    import functools
+
     from genefuserust_tpu.ops.hashtable import (
-        PackedIndexKV, PackedIndexKV16, pack_index_kv, pack_index_kv16,
+        PackedIndexKV, PackedIndexKV16, PackedIndexKVS,
+        pack_index_kv, pack_index_kv16, pack_index_kvs,
     )
 
-    cls, builder = (
-        (PackedIndexKV16, pack_index_kv16)
-        if layout == "kv16"
-        else (PackedIndexKV, pack_index_kv)
-    )
-    suffix = "v5kv16" if layout == "kv16" else "v4kv"
+    cls, builder, suffix = {
+        "kv16": (PackedIndexKV16, pack_index_kv16, "v5kv16"),
+        "kvs": (PackedIndexKVS, pack_index_kvs, "v5kvs"),
+        "kv8": (PackedIndexKV, pack_index_kv, "v4kv"),
+    }[layout]
+    if layout == "kv8" and kv_load != 0.7:
+        builder = functools.partial(pack_index_kv, target_load=kv_load)
+        suffix = f"v4kv_l{kv_load:g}"
     base = os.path.join(CACHE, f"packed_{panel_mbp:g}_{suffix}")
     if os.path.exists(base + "_meta.npy"):
         meta = np.load(base + "_meta.npy")
@@ -389,6 +396,66 @@ def run_multi_csv(args):
     )
 
 
+def run_ab(args):
+    """Interleaved A/B: the tunnel's latency drifts run to run, so
+    cross-process layout comparisons are confounded — this mode keeps every
+    candidate table resident and alternates iterations A,B,A,B within one
+    process, making the pairing drift-immune. Spec: --ab 'kv8,kv8:0.9,kvs'
+    (layout[:kv_load] comma-separated)."""
+    from genefuserust_tpu.config import Settings
+    from genefuserust_tpu.parallel.engine import TpuEngine
+
+    mapper = get_mapper(args.panel_mbp)
+    specs = []
+    for s in args.ab.split(","):
+        layout, _, load = s.partition(":")
+        specs.append((layout, float(load) if load else 0.7))
+    block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
+    engines = []
+    for layout, load in specs:
+        packed = get_packed(mapper, args.panel_mbp, layout, load)
+        eng = TpuEngine(Settings(), batch_size=args.batch)
+        eng.use_packed(packed)
+        eng._prepared_for = mapper
+        t0 = time.time()
+        eng.scan_pair_block(mapper, block)
+        eng.flush(mapper)
+        print(
+            f"# warmup {layout}:{load:g} ({packed.nbytes / 1e6:.0f} MB): "
+            f"{time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        engines.append(eng)
+    rates = [[] for _ in specs]
+    for _ in range(args.iters):
+        for i, eng in enumerate(engines):
+            t0 = time.time()
+            eng.scan_pair_block(mapper, block)
+            eng.flush(mapper)
+            rates[i].append(args.pairs / (time.time() - t0))
+    out = {}
+    for (layout, load), rs in zip(specs, rates):
+        name = f"{layout}:{load:g}"
+        print(
+            f"# {name}: {[f'{r:,.0f}' for r in rs]} "
+            f"(median {np.median(rs):,.0f})",
+            file=sys.stderr,
+        )
+        out[name] = round(float(np.median(rs)), 1)
+    best = max(out, key=out.get)
+    print(
+        json.dumps(
+            {
+                "metric": "pe_ab_pairs_per_sec_per_chip",
+                "value": out[best],
+                "unit": "pairs/s",
+                "vs_baseline": round(out[best] / BASELINE_PAIRS_PER_SEC, 3),
+                "arms": out,
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--panel-mbp", type=float, default=15.2)
@@ -401,10 +468,16 @@ def main():
                     help="read workload: 'real' = error/insert-size model "
                     "calibrated to the reference testdata (default); "
                     "'clean' = round-1 error-free fixed-length workload")
-    ap.add_argument("--layout", choices=["kv8", "kv16"], default="kv8",
+    ap.add_argument("--kv-load", type=float, default=0.9,
+                    help="kv8 table target load factor (higher = smaller "
+                    "table = cheaper gathers; 2-choice packs to ~0.95)")
+    ap.add_argument("--layout", choices=["kv8", "kvs", "kv16"], default="kv8",
                     help="device table layout: kv8 = 2-gather combined-KV "
-                    "rows (default, measured fastest), kv16 = single-gather "
-                    "16-wide rows (measured slower; kept for A/B)")
+                    "rows, kvs = single-probe 8-wide rows, kv16 = "
+                    "single-gather 16-wide rows (measured slower; A/B)")
+    ap.add_argument("--ab", type=str, default="",
+                    help="interleaved A/B over table layouts, e.g. "
+                    "'kv8,kv8:0.9,kvs' (drift-immune paired comparison)")
     ap.add_argument(
         "--multi-csv",
         type=int,
@@ -432,13 +505,16 @@ def main():
     if args.multi_csv > 0:
         run_multi_csv(args)
         return
+    if args.ab:
+        run_ab(args)
+        return
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
     t0 = time.time()
     mapper = get_mapper(args.panel_mbp)
-    packed = get_packed(mapper, args.panel_mbp, args.layout)
+    packed = get_packed(mapper, args.panel_mbp, args.layout, args.kv_load)
     print(f"# mapper+index ready: {time.time() - t0:.1f}s", file=sys.stderr)
 
     engine = TpuEngine(Settings(), batch_size=args.batch)

@@ -192,9 +192,16 @@ def _kv_budget(contigs, poss, dupes, max_dupe):
     return cbits, pbits, pos_bias
 
 
-def pack_index_kv(indexer):
+def pack_index_kv(indexer, target_load: float = 0.9):
     """Build the combined key+value device table, or return None when the
-    panel exceeds the packed-payload bit budget (then use pack_index)."""
+    panel exceeds the packed-payload bit budget (then use pack_index).
+
+    `target_load` bounds keys/(buckets*KV_SLOTS) before pow2 rounding;
+    2-choice placement over 4-slot buckets converges well above 0.9, and a
+    smaller table measurably speeds up the hot row gathers: the
+    interleaved A/B measured 140.2k pairs/s at load 0.9 (272 MB table)
+    vs 124.6k at 0.45 (540 MB) — see PERF.md. Placement failure at high
+    load degrades gracefully (nb doubles)."""
     keys, contigs, poss, dupes, max_dupe = _entries_from_indexer(indexer)
     budget = _kv_budget(contigs, poss, dupes, max_dupe)
     if budget is None:
@@ -205,7 +212,7 @@ def pack_index_kv(indexer):
     from .. import native
 
     nb = 16
-    while nb * KV_SLOTS * 7 < max(len(keys), 1) * 10:  # load <= ~0.7
+    while nb * KV_SLOTS * target_load < max(len(keys), 1):
         nb *= 2
     while True:
         shift = 32 - int(round(np.log2(nb)))
@@ -266,18 +273,59 @@ def lookup_np_kv(packed: PackedIndexKV, kmers: np.ndarray):
     return out_c, out_p
 
 
-def _place_kv16(keys: np.ndarray, nb: int, shift: int):
+@dataclasses.dataclass
+class PackedIndexKVS:
+    """Single-probe variant of PackedIndexKV: SAME 8xint32 rows of 4
+    [key | payload] slots (32B — the measured-cheap gather width), but
+    keys are placed single-hash (h1) so the hot path is ONE random row
+    gather. Buckets whose h1 population exceeds 4 keys keep 3 inline,
+    carry the overflow marker (key slot 3 = absent-key sentinel, payload
+    OVF_PAYLOAD), and spill the rest to free slots of their h2 buckets
+    (with one eviction rescue level: an inline key of the flagged bucket
+    may move to ITS h2 to make room). Only queries that MISS a marked
+    row take a second gather; all other rows clamp the second-probe index
+    to row 0 (mostly-constant gather indices are near-free, measured end
+    to end). Key equality implies hash equality, so clamped probes can
+    never produce a false match.
+
+    Rationale: the kv16 A/B showed the single-probe idea is sound but
+    16-wide rows gather at ~2-3x the 8-wide cost; this keeps the row
+    width and drops the probe count — ~1.004 random gathers/query at
+    target_load 1.0 (flagged-bucket rate P[Poisson(1) > 4] ~ 0.4%)."""
+
+    kv_tbl: np.ndarray  # (nb, 8) int32: [k0..k3 | p0..p3]
+    dupes: np.ndarray  # (nd, 8) int32 packed payloads
+    n_buckets: int
+    shift: int
+    cbits: int
+    pos_bias: int
+    max_dupe: int
+    empty_key: int
+
+    single_probe = True  # engine dispatch marker (kv=3)
+
+    @property
+    def nbytes(self) -> int:
+        return self.kv_tbl.nbytes + self.dupes.nbytes
+
+
+def _place_single_hash(keys: np.ndarray, nb: int, shift: int, slots: int):
     """Single-hash placement with h2 spill: -> (bucket, slot, ovf_mask) or
-    None when some spill key's h2 bucket has no free slot (caller doubles
-    nb). Inline order within a bucket follows the deterministic key order
-    from _entries_from_indexer; spills are placed in that same order."""
+    None when placement fails (caller doubles nb). Buckets with more than
+    `slots` keys keep slots-1 inline (the last slot carries the overflow
+    marker) and spill the rest to free slots of their h2 buckets; a spill
+    whose h2 bucket is full gets one eviction rescue — an inline key of
+    the (already-flagged) h1 bucket moves to ITS h2 bucket, freeing an
+    inline slot. Inline order within a bucket follows the deterministic
+    key order from _entries_from_indexer; spills are handled in that same
+    order."""
     n = len(keys)
-    b1 = h1_np(keys, shift)
-    counts = np.bincount(b1, minlength=nb)
-    ovf = counts > KV16_SLOTS
-    cap = np.where(ovf, KV16_SLOTS - 1, KV16_SLOTS).astype(np.int64)
-    order = np.argsort(b1, kind="stable")
-    ob = b1[order]
+    b1_all = h1_np(keys, shift)
+    counts = np.bincount(b1_all, minlength=nb)
+    ovf = counts > slots
+    cap = np.where(ovf, slots - 1, slots).astype(np.int64)
+    order = np.argsort(b1_all, kind="stable")
+    ob = b1_all[order]
     first = np.concatenate([[True], ob[1:] != ob[:-1]]) if n else np.zeros(0, bool)
     idx = np.arange(n)
     run_start = np.maximum.accumulate(np.where(first, idx, -1)) if n else idx
@@ -288,16 +336,37 @@ def _place_kv16(keys: np.ndarray, nb: int, shift: int):
     out_b[order[inline]] = ob[inline]
     out_s[order[inline]] = rank[inline]
     used = np.minimum(counts.astype(np.int64), cap)
-    spill = order[~inline]
-    if len(spill):
-        spill = np.sort(spill)  # deterministic: original entry order
-        b2 = h2_np(keys[spill], shift)
-        for i, b in zip(spill.tolist(), b2.tolist()):
-            if used[b] >= cap[b]:
-                return None
+    spill = np.sort(order[~inline])  # deterministic: original entry order
+    if not len(spill):
+        return out_b, out_s, ovf
+    h2_all = h2_np(keys, shift)
+    # inline occupants of flagged buckets (eviction candidates)
+    occ = {}
+    infl = np.nonzero((out_b >= 0) & ovf[np.clip(out_b, 0, nb - 1)])[0]
+    for j in infl.tolist():
+        occ.setdefault(int(out_b[j]), []).append(j)
+    for i in spill.tolist():
+        b = int(h2_all[i])
+        if used[b] < cap[b]:
             out_b[i] = b
             out_s[i] = used[b]
             used[b] += 1
+            continue
+        bh1 = int(b1_all[i])
+        for j in occ.get(bh1, []):
+            c = int(h2_all[j])
+            if c != bh1 and used[c] < cap[c]:
+                # move the victim to its h2 (its h1 bucket is flagged, so
+                # queries for it will second-probe); the spill key takes
+                # the freed inline slot
+                out_b[i], out_s[i] = out_b[j], out_s[j]
+                out_b[j], out_s[j] = c, used[c]
+                used[c] += 1
+                occ[bh1].remove(j)
+                occ[bh1].append(i)
+                break
+        else:
+            return None
     return out_b, out_s, ovf
 
 
@@ -318,7 +387,7 @@ def pack_index_kv16(indexer, target_load: float = 4.0, max_buckets: int = 1 << 2
     placed = None
     while nb <= max_buckets:
         shift = 32 - int(round(np.log2(nb)))
-        placed = _place_kv16(keys, nb, shift)
+        placed = _place_single_hash(keys, nb, shift, KV16_SLOTS)
         if placed is not None:
             break
         nb *= 2
@@ -346,6 +415,82 @@ def pack_index_kv16(indexer, target_load: float = 4.0, max_buckets: int = 1 << 2
     )
 
 
+def pack_index_kvs(indexer, target_load: float = 1.0, max_buckets: int = 1 << 27):
+    """Build the single-probe 8xint32-row device table (PackedIndexKVS),
+    or return None when the panel exceeds the payload bit budget or
+    placement cannot fit under `max_buckets` rows (then fall back to
+    pack_index_kv)."""
+    keys, contigs, poss, dupes, max_dupe = _entries_from_indexer(indexer)
+    budget = _kv_budget(contigs, poss, dupes, max_dupe)
+    if budget is None:
+        return None
+    cbits, pbits, pos_bias = budget
+    n_dup = dupes.shape[0]
+
+    nb = 16
+    while nb * target_load < max(len(keys), 1):
+        nb *= 2
+    placed = None
+    while nb <= max_buckets:
+        shift = 32 - int(round(np.log2(nb)))
+        placed = _place_single_hash(keys, nb, shift, KV_SLOTS)
+        if placed is not None:
+            break
+        nb *= 2
+    if placed is None:
+        return None
+    out_b, out_s, ovf = placed
+
+    sentinel = _absent_key(keys)
+    s32 = np.int32(sentinel - (1 << 32) if sentinel >= 1 << 31 else sentinel)
+    tkeys = np.full((nb, KV_SLOTS), s32, np.int32)
+    payload = np.zeros((nb, KV_SLOTS), np.int32)
+    payload[ovf, KV_SLOTS - 1] = OVF_PAYLOAD
+    tkeys[out_b, out_s] = keys.astype(np.int32)
+    payload[out_b, out_s] = _encode_payload(contigs, poss, pbits, pos_bias)
+    kv_tbl = np.concatenate([tkeys, payload], axis=1).astype(np.int32)
+
+    dupes_packed = np.zeros((max(1, n_dup), 8), np.int32)
+    if n_dup:
+        D = dupes.shape[1]
+        dupes_packed[:, :D] = _encode_payload(
+            dupes[:, :, 0].ravel(), dupes[:, :, 1].ravel(), pbits, pos_bias
+        ).reshape(n_dup, D)
+    return PackedIndexKVS(
+        kv_tbl, dupes_packed, nb, shift, cbits, pos_bias, max_dupe, sentinel
+    )
+
+
+def lookup_np_kvs(packed: PackedIndexKVS, kmers: np.ndarray):
+    """Numpy KVS lookup (test oracle for the device path): (contig, pos)
+    with the same conventions as lookup_np."""
+    pbits = 32 - packed.cbits
+    ki = kmers.astype(np.uint32).astype(np.int32)
+    r1 = packed.kv_tbl[h1_np(kmers, packed.shift)]  # (..., 8)
+    m1 = r1[..., :KV_SLOTS] == ki[..., None]
+    pay = np.where(m1, r1[..., KV_SLOTS:].astype(np.uint32), np.uint32(0)).sum(
+        -1, dtype=np.uint32
+    )
+    flagged = r1[..., 2 * KV_SLOTS - 1] == OVF_PAYLOAD
+    need2 = flagged & (pay == 0)
+    b2 = np.where(need2, h2_np(kmers, packed.shift), 0)
+    r2 = packed.kv_tbl[b2]
+    m2 = r2[..., :KV_SLOTS] == ki[..., None]
+    pay2 = np.where(m2, r2[..., KV_SLOTS:].astype(np.uint32), np.uint32(0)).sum(
+        -1, dtype=np.uint32
+    )
+    pay |= np.where(need2, pay2, np.uint32(0))
+    tag = (pay >> np.uint32(pbits)).astype(np.int32)
+    val = (pay & np.uint32((1 << pbits) - 1)).astype(np.int64)
+    out_c = np.where(
+        tag == 0, EMPTY, np.where(tag == 1, HIGH, np.where(tag == 2, DUPE, tag - 3))
+    ).astype(np.int32)
+    out_p = np.where(
+        tag >= 3, val + packed.pos_bias, np.where(tag == 2, val, 0)
+    ).astype(np.int32)
+    return out_c, out_p
+
+
 def build_packed_index(indexer, layout: str = None):
     """Build the device table in the preferred layout with fallbacks:
     kv (two gathers, the measured-fastest default) -> split (three
@@ -365,7 +510,11 @@ def build_packed_index(indexer, layout: str = None):
         p = pack_index_kv16(indexer)
         if p is not None:
             return p
-    if layout in ("auto", "kv16", "kv8"):
+    if layout == "kvs":
+        p = pack_index_kvs(indexer)
+        if p is not None:
+            return p
+    if layout in ("auto", "kv16", "kvs", "kv8"):
         p = pack_index_kv(indexer)
         if p is not None:
             return p

@@ -151,17 +151,39 @@ def cbits_shift(pbits: int):
 
 def kv16_lookup(kv_tbl: jnp.ndarray, shift: int, cbits: int, pos_bias: int,
                 kmers: jnp.ndarray, valid: jnp.ndarray):
-    """Single-gather lookup (ops/hashtable.PackedIndexKV16 layout): each
-    16xint32 row holds 8 [key | payload] slots and every key lives in its
-    h1 bucket, so the hot path is ONE random row gather per query. Rows
-    whose h1 population overflowed at pack time carry a marker payload in
-    slot 7; only queries that MISS such a row probe their h2 bucket — all
-    other queries' second-gather index is clamped to row 0 (mostly-constant
-    indices gather near-free; key equality implies hash equality, so the
-    clamp can never produce a false match — see PackedIndexKV16)."""
-    from .hashtable import KV16_SLOTS, OVF_PAYLOAD
+    """Single-gather lookup over 16-wide rows (PackedIndexKV16). Measured
+    slower than kv_lookup (wide rows gather at ~2-3x) — kept for A/B."""
+    from .hashtable import KV16_SLOTS
 
-    S = KV16_SLOTS
+    return _single_probe_lookup(
+        kv_tbl, KV16_SLOTS, shift, cbits, pos_bias, kmers, valid
+    )
+
+
+def kvs_lookup(kv_tbl: jnp.ndarray, shift: int, cbits: int, pos_bias: int,
+               kmers: jnp.ndarray, valid: jnp.ndarray):
+    """Single-probe lookup over the kv_lookup row width (PackedIndexKVS):
+    8xint32 rows of 4 [key | payload] slots, single-hash placement —
+    ~1.004 random row gathers per query instead of kv_lookup's 2."""
+    from .hashtable import KV_SLOTS
+
+    return _single_probe_lookup(
+        kv_tbl, KV_SLOTS, shift, cbits, pos_bias, kmers, valid
+    )
+
+
+def _single_probe_lookup(kv_tbl: jnp.ndarray, S: int, shift: int, cbits: int,
+                         pos_bias: int, kmers: jnp.ndarray, valid: jnp.ndarray):
+    """Shared single-probe lookup: each (2S)xint32 row holds S
+    [key | payload] slots and every key lives in its h1 bucket, so the hot
+    path is ONE random row gather per query. Rows whose h1 population
+    overflowed at pack time carry a marker payload in the last slot; only
+    queries that MISS such a row probe their h2 bucket — all other
+    queries' second-gather index is clamped to row 0 (mostly-constant
+    indices gather near-free; key equality implies hash equality, so the
+    clamp can never produce a false match — see hashtable.PackedIndexKVS)."""
+    from .hashtable import OVF_PAYLOAD
+
     pbits = 32 - cbits
     ki = kmers.astype(jnp.int32)
     k = kmers
@@ -226,7 +248,11 @@ def lookup_expand(keys_tbl, vals_tbl, dupes, shift: int, max_dupe: int,
     vals_tbl + dupe pair rows); kv=True/1 -> PackedIndexKV combined rows
     (two gathers); kv=2 -> PackedIndexKV16 single-gather rows. For the KV
     layouts keys_tbl holds the combined rows, vals_tbl is a dummy, and
-    dupes holds packed payload rows."""
+    dupes holds packed payload rows. kv=3 -> PackedIndexKVS single-probe
+    8-wide rows."""
+    if kv == 3:
+        contig, pos = kvs_lookup(keys_tbl, shift, cbits, pos_bias, kmers, valid)
+        return expand_candidates_kv(contig, pos, dupes, max_dupe, cbits, pos_bias)
     if kv == 2:
         contig, pos = kv16_lookup(keys_tbl, shift, cbits, pos_bias, kmers, valid)
         return expand_candidates_kv(contig, pos, dupes, max_dupe, cbits, pos_bias)

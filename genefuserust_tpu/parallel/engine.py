@@ -227,8 +227,14 @@ class TpuEngine:
         if hasattr(packed, "kv_tbl"):
             keys = self._put_repl(packed.kv_tbl)
             vals = self._put_repl(np.zeros((1, 2), np.int32))  # unused
-            # 16-wide rows = single-gather KV16 layout, 8-wide = 2-gather KV
-            kv = 2 if packed.kv_tbl.shape[1] == 16 else True
+            # 16-wide rows = single-gather KV16; 8-wide single_probe = KVS;
+            # plain 8-wide = 2-gather KV
+            if packed.kv_tbl.shape[1] == 16:
+                kv = 2
+            elif getattr(packed, "single_probe", False):
+                kv = 3
+            else:
+                kv = True
             statics = dict(
                 shift=packed.shift, max_dupe=packed.max_dupe, kv=kv,
                 cbits=packed.cbits, pos_bias=packed.pos_bias,
