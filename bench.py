@@ -85,11 +85,24 @@ def get_mapper(panel_mbp: float):
     )
 
 
+# per-layout (cache-suffix, the load the bare suffix was cached at, the
+# load used when --kv-load is not given). Load semantics are the packer's
+# native target_load: keys/(buckets*slots) for kv8/kv4, keys/bucket for
+# the single-probe layouts.
+_LAYOUTS = {
+    "kv8": ("v4kv", 0.7, 0.9),
+    "kv4": ("v6kv4", 0.9, 0.9),
+    "kvs": ("v5kvs", 1.0, 1.0),
+    "kv16": ("v5kv16", 4.0, 4.0),
+}
+
+
 def get_packed(mapper, panel_mbp: float, layout: str = "kv8",
-               kv_load: float = 0.7):
-    """Device table (PackedIndexKV 2-gather rows by default; kvs/kv16
-    single-probe layouts for --layout A/B runs), mmap-cached. `kv_load`
-    tunes the kv8 table's load factor (smaller table = faster gathers)."""
+               kv_load: float = None):
+    """Device table (PackedIndexKV 2-gather rows by default; kv4 narrow
+    rows / kvs / kv16 single-probe layouts for --layout / --ab runs),
+    mmap-cached. `kv_load` tunes the table's load factor (smaller table =
+    faster gathers; None = the layout's default)."""
     import functools
 
     from genefuserust_tpu.ops.hashtable import (
@@ -97,14 +110,16 @@ def get_packed(mapper, panel_mbp: float, layout: str = "kv8",
         pack_index_kv, pack_index_kv16, pack_index_kvs,
     )
 
-    cls, builder, suffix = {
-        "kv16": (PackedIndexKV16, pack_index_kv16, "v5kv16"),
-        "kvs": (PackedIndexKVS, pack_index_kvs, "v5kvs"),
-        "kv8": (PackedIndexKV, pack_index_kv, "v4kv"),
+    cls, fn = {
+        "kv16": (PackedIndexKV16, pack_index_kv16),
+        "kvs": (PackedIndexKVS, pack_index_kvs),
+        "kv8": (PackedIndexKV, pack_index_kv),
+        "kv4": (PackedIndexKV, functools.partial(pack_index_kv, slots=2)),
     }[layout]
-    if layout == "kv8" and kv_load != 0.7:
-        builder = functools.partial(pack_index_kv, target_load=kv_load)
-        suffix = f"v4kv_l{kv_load:g}"
+    base_suffix, cache_default, layout_default = _LAYOUTS[layout]
+    load = kv_load if kv_load is not None else layout_default
+    suffix = base_suffix if load == cache_default else f"{base_suffix}_l{load:g}"
+    builder = functools.partial(fn, target_load=load)
     base = os.path.join(CACHE, f"packed_{panel_mbp:g}_{suffix}")
     if os.path.exists(base + "_meta.npy"):
         meta = np.load(base + "_meta.npy")
@@ -409,23 +424,25 @@ def run_ab(args):
     specs = []
     for s in args.ab.split(","):
         layout, _, load = s.partition(":")
-        specs.append((layout, float(load) if load else 0.7))
+        specs.append((layout, float(load) if load else None))
     block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
-    engines = []
+    engines, names = [], []
     for layout, load in specs:
         packed = get_packed(mapper, args.panel_mbp, layout, load)
         eng = TpuEngine(Settings(), batch_size=args.batch)
         eng.use_packed(packed)
         eng._prepared_for = mapper
+        name = f"{layout}:{load:g}" if load is not None else layout
         t0 = time.time()
         eng.scan_pair_block(mapper, block)
         eng.flush(mapper)
         print(
-            f"# warmup {layout}:{load:g} ({packed.nbytes / 1e6:.0f} MB): "
+            f"# warmup {name} ({packed.nbytes / 1e6:.0f} MB): "
             f"{time.time() - t0:.1f}s",
             file=sys.stderr,
         )
         engines.append(eng)
+        names.append(name)
     rates = [[] for _ in specs]
     for _ in range(args.iters):
         for i, eng in enumerate(engines):
@@ -434,8 +451,7 @@ def run_ab(args):
             eng.flush(mapper)
             rates[i].append(args.pairs / (time.time() - t0))
     out = {}
-    for (layout, load), rs in zip(specs, rates):
-        name = f"{layout}:{load:g}"
+    for name, rs in zip(names, rates):
         print(
             f"# {name}: {[f'{r:,.0f}' for r in rs]} "
             f"(median {np.median(rs):,.0f})",
@@ -468,13 +484,15 @@ def main():
                     help="read workload: 'real' = error/insert-size model "
                     "calibrated to the reference testdata (default); "
                     "'clean' = round-1 error-free fixed-length workload")
-    ap.add_argument("--kv-load", type=float, default=0.9,
-                    help="kv8 table target load factor (higher = smaller "
-                    "table = cheaper gathers; 2-choice packs to ~0.95)")
-    ap.add_argument("--layout", choices=["kv8", "kvs", "kv16"], default="kv8",
-                    help="device table layout: kv8 = 2-gather combined-KV "
-                    "rows, kvs = single-probe 8-wide rows, kv16 = "
-                    "single-gather 16-wide rows (measured slower; A/B)")
+    ap.add_argument("--kv-load", type=float, default=None,
+                    help="table target load factor (higher = smaller table "
+                    "= cheaper gathers; default = the layout's own)")
+    ap.add_argument("--layout", choices=["kv8", "kv4", "kvs", "kv16"],
+                    default="kv8",
+                    help="device table layout: kv8 = 2-gather 8-wide rows "
+                    "(default), kv4 = 2-gather 4-wide rows, kvs = "
+                    "single-probe 8-wide rows, kv16 = single-gather "
+                    "16-wide rows (measured slower; A/B)")
     ap.add_argument("--ab", type=str, default="",
                     help="interleaved A/B over table layouts, e.g. "
                     "'kv8,kv8:0.9,kvs' (drift-immune paired comparison)")

@@ -192,7 +192,7 @@ def _kv_budget(contigs, poss, dupes, max_dupe):
     return cbits, pbits, pos_bias
 
 
-def pack_index_kv(indexer, target_load: float = 0.9):
+def pack_index_kv(indexer, target_load: float = 0.9, slots: int = KV_SLOTS):
     """Build the combined key+value device table, or return None when the
     panel exceeds the packed-payload bit budget (then use pack_index).
 
@@ -212,15 +212,15 @@ def pack_index_kv(indexer, target_load: float = 0.9):
     from .. import native
 
     nb = 16
-    while nb * KV_SLOTS * target_load < max(len(keys), 1):
+    while nb * slots * target_load < max(len(keys), 1):
         nb *= 2
     while True:
         shift = 32 - int(round(np.log2(nb)))
-        table = native.pack_table(keys, contigs, poss, nb, shift, KV_SLOTS, EMPTY)
+        table = native.pack_table(keys, contigs, poss, nb, shift, slots, EMPTY)
         if table is None:
-            placed = _place_2choice(keys, nb, shift, KV_SLOTS)
+            placed = _place_2choice(keys, nb, shift, slots)
             if placed is not None:
-                table = np.zeros((nb, KV_SLOTS, 3), np.int32)
+                table = np.zeros((nb, slots, 3), np.int32)
                 table[:, :, 1] = EMPTY
                 pb, ps = placed
                 table[pb, ps, 0] = keys.astype(np.int32)
@@ -236,7 +236,7 @@ def pack_index_kv(indexer, target_load: float = 0.9):
     tkeys[empty] = np.int32(sentinel - (1 << 32) if sentinel >= 1 << 31 else sentinel)
     payload = _encode_payload(
         table[:, :, 1].ravel(), table[:, :, 2].ravel(), pbits, pos_bias
-    ).reshape(nb, KV_SLOTS)
+    ).reshape(nb, slots)
     kv_tbl = np.concatenate([tkeys, payload], axis=1).astype(np.int32)
 
     dupes_packed = np.zeros((max(1, n_dup), 8), np.int32)
@@ -254,13 +254,14 @@ def lookup_np_kv(packed: PackedIndexKV, kmers: np.ndarray):
     """Numpy KV lookup (test oracle for the device path): (contig, pos)
     with the same conventions as lookup_np."""
     pbits = 32 - packed.cbits
+    S = packed.kv_tbl.shape[1] // 2  # 4 (kv8 rows) or 2 (kv4 rows)
     ki = kmers.astype(np.uint32).astype(np.int32)
     pay = np.zeros(kmers.shape, np.uint32)
     for hf in (h1_np, h2_np):
-        rows = packed.kv_tbl[hf(kmers, packed.shift)]  # (..., 8)
-        match = rows[..., :KV_SLOTS] == ki[..., None]
+        rows = packed.kv_tbl[hf(kmers, packed.shift)]  # (..., 2S)
+        match = rows[..., :S] == ki[..., None]
         pay |= np.where(
-            match, rows[..., KV_SLOTS:].astype(np.uint32), np.uint32(0)
+            match, rows[..., S:].astype(np.uint32), np.uint32(0)
         ).sum(-1, dtype=np.uint32)
     tag = (pay >> np.uint32(pbits)).astype(np.int32)
     val = (pay & np.uint32((1 << pbits) - 1)).astype(np.int64)
@@ -345,6 +346,7 @@ def _place_single_hash(keys: np.ndarray, nb: int, shift: int, slots: int):
     infl = np.nonzero((out_b >= 0) & ovf[np.clip(out_b, 0, nb - 1)])[0]
     for j in infl.tolist():
         occ.setdefault(int(out_b[j]), []).append(j)
+    retry = []
     for i in spill.tolist():
         b = int(h2_all[i])
         if used[b] < cap[b]:
@@ -366,8 +368,78 @@ def _place_single_hash(keys: np.ndarray, nb: int, shift: int, slots: int):
                 occ[bh1].append(i)
                 break
         else:
-            return None
+            retry.append(i)
+    if retry and not _spill_walk(
+        keys, retry, b1_all, h2_all, ovf, cap, used, out_b, out_s
+    ):
+        return None
     return out_b, out_s, ovf
+
+
+def _spill_walk(keys, retry, b1_all, h2_all, ovf, cap, used, out_b, out_s,
+                max_kicks: int = 500):
+    """Constrained cuckoo random walk for spills the one-level rescue
+    could not place. Legal positions for a key k: its h1 bucket (always),
+    or its h2 bucket IFF its h1 bucket carries the overflow flag — the
+    query kernel only second-probes flagged rows, so the flag set (fixed
+    at bucket-count time) bounds where keys may live. The walk evicts an
+    occupant of a legal full bucket and re-places it under the same rules;
+    rng is seeded per key for determinism."""
+    nb = len(cap)
+    occupant = np.full((nb, int(cap.max())), -1, np.int32)
+    placed = out_b >= 0
+    occupant[out_b[placed], out_s[placed]] = np.nonzero(placed)[0]
+
+    def movable(o, b):
+        # occupant o of bucket b can walk elsewhere: to h2(o) if its h1
+        # bucket is flagged (and differs from b), or home to h1(o) if it
+        # was spilled into b
+        if int(b1_all[o]) == b:
+            return ovf[b] and int(h2_all[o]) != b
+        return True
+
+    for start in retry:
+        rng = np.random.default_rng(np.uint32(keys[start]))
+        cur = int(start)
+        ok = False
+        for _ in range(max_kicks):
+            b1c = int(b1_all[cur])
+            targets = [b1c]
+            if ovf[b1c]:
+                b2c = int(h2_all[cur])
+                if b2c != b1c:
+                    targets.append(b2c)
+            done = False
+            for b in targets:
+                if used[b] < cap[b]:
+                    s = int(used[b])
+                    occupant[b, s] = cur
+                    out_b[cur], out_s[cur] = b, s
+                    used[b] += 1
+                    done = True
+                    break
+            if done:
+                ok = True
+                break
+            b = targets[int(rng.integers(len(targets)))]
+            cands = [
+                s for s in range(int(cap[b]))
+                if movable(int(occupant[b, s]), b)
+            ]
+            if not cands:
+                b = targets[-1]
+                cands = [
+                    s for s in range(int(cap[b]))
+                    if movable(int(occupant[b, s]), b)
+                ] or list(range(int(cap[b])))
+            s = cands[int(rng.integers(len(cands)))]
+            victim = int(occupant[b, s])
+            occupant[b, s] = cur
+            out_b[cur], out_s[cur] = b, s
+            cur = victim
+        if not ok:
+            return False
+    return True
 
 
 def pack_index_kv16(indexer, target_load: float = 4.0, max_buckets: int = 1 << 26):

@@ -109,9 +109,12 @@ def hash_lookup(table: jnp.ndarray, shift: int, kmers: jnp.ndarray, valid: jnp.n
 def kv_lookup(kv_tbl: jnp.ndarray, shift: int, cbits: int, pos_bias: int,
               kmers: jnp.ndarray, valid: jnp.ndarray):
     """Combined-row lookup (ops/hashtable.PackedIndexKV layout): TWO row
-    gathers per query — each 8xint32 row holds 4 [key | payload] slots for
-    both candidate buckets. Returns (contig, pos) with hash_lookup's
-    conventions (EMPTY miss, DUPE with pos=dupe row, HIGH, or regular)."""
+    gathers per query — each (2S)xint32 row holds S [key | payload] slots
+    for both candidate buckets (S=4 for the default 8-wide rows, S=2 for
+    the narrow kv4 A/B layout; derived from the table shape). Returns
+    (contig, pos) with hash_lookup's conventions (EMPTY miss, DUPE with
+    pos=dupe row, HIGH, or regular)."""
+    S = kv_tbl.shape[1] // 2
     pbits = 32 - cbits
     ki = kmers.astype(jnp.int32)
     k = kmers
@@ -124,14 +127,14 @@ def kv_lookup(kv_tbl: jnp.ndarray, shift: int, cbits: int, pos_bias: int,
     # and ~20% of merged-lane samples sit past the read length
     b1 = jnp.where(valid, b1, 0)
     b2 = jnp.where(valid, b2, 0)
-    r1 = jnp.take(kv_tbl, b1, axis=0)  # (..., 8)
+    r1 = jnp.take(kv_tbl, b1, axis=0)  # (..., 2S)
     r2 = jnp.take(kv_tbl, b2, axis=0)
-    m1 = r1[..., :4] == ki[..., None]
-    m2 = r2[..., :4] == ki[..., None]
+    m1 = r1[..., :S] == ki[..., None]
+    m2 = r2[..., :S] == ki[..., None]
     # keys are unique across both buckets' slots, so at most one slot
     # matches; empty slots carry an absent-key sentinel and payload 0
-    pay = jnp.where(m1, r1[..., 4:], 0).sum(-1) | jnp.where(
-        m2, r2[..., 4:], 0
+    pay = jnp.where(m1, r1[..., S:], 0).sum(-1) | jnp.where(
+        m2, r2[..., S:], 0
     ).sum(-1)
     tag = (pay.astype(jnp.uint32) >> cbits_shift(pbits)).astype(jnp.int32)
     val = pay & ((1 << pbits) - 1)

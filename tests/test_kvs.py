@@ -177,6 +177,60 @@ def test_kvs_device_kernel_matches_oracle(tmp_path):
     assert (pd[dup] == po[dup]).all()
 
 
+def test_kv4_narrow_rows_roundtrip_and_device(tmp_path):
+    # kv4 = pack_index_kv with 2 slots/bucket: 4xint32 rows, same 2-gather
+    # kernel (kv_lookup derives the slot count from the table shape)
+    import jax.numpy as jnp
+
+    from genefuserust_tpu.ops.hashtable import lookup_np_kv, pack_index_kv
+    from genefuserust_tpu.ops.map_read import kv_lookup
+
+    ix = _build_panel_indexer(tmp_path)
+    split = pack_index(ix)
+    p4 = pack_index_kv(ix, slots=2)
+    assert p4 is not None
+    assert p4.kv_tbl.shape[1] == 4
+    rng = np.random.default_rng(9)
+    keys = np.fromiter(ix.kmer_gp.keys(), np.uint32)
+    probe = np.concatenate(
+        [keys, rng.integers(0, 2**32, size=4000, dtype=np.uint64).astype(np.uint32)]
+    )
+    cs, ps = lookup_np(split, probe)
+    c4, p4v = lookup_np_kv(p4, probe)
+    assert (cs == c4).all()
+    reg = cs >= 0
+    assert (ps[reg] == p4v[reg]).all()
+    valid = rng.random(probe.shape) < 0.9
+    cd, pd = kv_lookup(
+        jnp.asarray(p4.kv_tbl), p4.shift, p4.cbits, p4.pos_bias,
+        jnp.asarray(probe), jnp.asarray(valid),
+    )
+    cd, pd = np.asarray(cd), np.asarray(pd)
+    assert (cd == np.where(valid, c4, EMPTY)).all()
+    live = valid & (c4 >= 0)
+    assert (pd[live] == p4v[live]).all()
+
+
+def test_kvs_half_size_pack_via_walk():
+    # target_load=2.0 (keys/bucket) over 4-slot buckets: ~5% of buckets
+    # flag, ~6% of keys spill, and enough spill targets fill up that the
+    # constrained cuckoo walk must run — the packed table must stay exact
+    rng = np.random.default_rng(17)
+    keys = np.unique(
+        rng.integers(0, 2**32, size=300_000, dtype=np.uint64).astype(np.uint32)
+    )
+    n = len(keys)
+    contigs = (np.arange(n, dtype=np.int32) % 5).astype(np.int32)
+    poss = (np.arange(n, dtype=np.int32) * 3 + 10).astype(np.int32)
+    pkvs = pack_index_kvs(_fake_indexer(keys, contigs, poss), target_load=2.0)
+    assert pkvs is not None
+    # placement should succeed without doubling past the initial nb
+    assert pkvs.n_buckets <= max(16, 1 << int(np.ceil(np.log2(n / 2.0))))
+    c, p = lookup_np_kvs(pkvs, keys)
+    assert (c == contigs).all()
+    assert (p == poss).all()
+
+
 def test_kvs_engine_full_scan_equality(tmp_path, monkeypatch):
     # the production engine with GENEFUSE_TABLE_LAYOUT=kvs must match the
     # host oracle (results + JSON) on a planted-fusion panel
