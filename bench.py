@@ -92,6 +92,7 @@ def get_mapper(panel_mbp: float):
 _LAYOUTS = {
     "kv8": ("v4kv", 0.7, 0.9),
     "kv4": ("v6kv4", 0.9, 0.9),
+    "kv2": ("v7kv2", 0.5, 0.5),
     "kvs": ("v5kvs", 1.0, 1.0),
     "kv16": ("v5kv16", 4.0, 4.0),
 }
@@ -115,6 +116,7 @@ def get_packed(mapper, panel_mbp: float, layout: str = "kv8",
         "kvs": (PackedIndexKVS, pack_index_kvs),
         "kv8": (PackedIndexKV, pack_index_kv),
         "kv4": (PackedIndexKV, functools.partial(pack_index_kv, slots=2)),
+        "kv2": (PackedIndexKV, functools.partial(pack_index_kv, slots=1)),
     }[layout]
     base_suffix, cache_default, layout_default = _LAYOUTS[layout]
     load = kv_load if kv_load is not None else layout_default
@@ -426,23 +428,32 @@ def run_ab(args):
         layout, _, load = s.partition(":")
         specs.append((layout, float(load) if load else None))
     block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
-    engines, names = [], []
+    engines, names, arm_matches = [], [], []
     for layout, load in specs:
         packed = get_packed(mapper, args.panel_mbp, layout, load)
         eng = TpuEngine(Settings(), batch_size=args.batch)
         eng.use_packed(packed)
         eng._prepared_for = mapper
         name = f"{layout}:{load:g}" if load is not None else layout
+        m0 = sum(len(b) for b in mapper.fusion_matches)
         t0 = time.time()
         eng.scan_pair_block(mapper, block)
         eng.flush(mapper)
+        dm = sum(len(b) for b in mapper.fusion_matches) - m0
         print(
             f"# warmup {name} ({packed.nbytes / 1e6:.0f} MB): "
-            f"{time.time() - t0:.1f}s",
+            f"{time.time() - t0:.1f}s, matches={dm}",
             file=sys.stderr,
         )
         engines.append(eng)
         names.append(name)
+        arm_matches.append(dm)
+    if len(set(arm_matches)) > 1:
+        print(
+            f"# WARNING: arms disagree on matches: "
+            f"{dict(zip(names, arm_matches))}",
+            file=sys.stderr,
+        )
     rates = [[] for _ in specs]
     for _ in range(args.iters):
         for i, eng in enumerate(engines):
@@ -487,7 +498,7 @@ def main():
     ap.add_argument("--kv-load", type=float, default=None,
                     help="table target load factor (higher = smaller table "
                     "= cheaper gathers; default = the layout's own)")
-    ap.add_argument("--layout", choices=["kv8", "kv4", "kvs", "kv16"],
+    ap.add_argument("--layout", choices=["kv8", "kv4", "kv2", "kvs", "kv16"],
                     default="kv8",
                     help="device table layout: kv8 = 2-gather 8-wide rows "
                     "(default), kv4 = 2-gather 4-wide rows, kvs = "

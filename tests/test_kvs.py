@@ -211,6 +211,40 @@ def test_kv4_narrow_rows_roundtrip_and_device(tmp_path):
     assert (pd[live] == p4v[live]).all()
 
 
+def test_kv2_single_slot_roundtrip_and_device(tmp_path):
+    # kv2 = pack_index_kv with 1 slot/bucket (classic 2-choice cuckoo):
+    # 2xint32 rows, same shape-generic 2-gather kernel
+    import jax.numpy as jnp
+
+    from genefuserust_tpu.ops.hashtable import lookup_np_kv, pack_index_kv
+    from genefuserust_tpu.ops.map_read import kv_lookup
+
+    ix = _build_panel_indexer(tmp_path)
+    split = pack_index(ix)
+    p2 = pack_index_kv(ix, target_load=0.5, slots=1)
+    assert p2 is not None
+    assert p2.kv_tbl.shape[1] == 2
+    rng = np.random.default_rng(13)
+    keys = np.fromiter(ix.kmer_gp.keys(), np.uint32)
+    probe = np.concatenate(
+        [keys, rng.integers(0, 2**32, size=4000, dtype=np.uint64).astype(np.uint32)]
+    )
+    cs, ps = lookup_np(split, probe)
+    c2, p2v = lookup_np_kv(p2, probe)
+    assert (cs == c2).all()
+    reg = cs >= 0
+    assert (ps[reg] == p2v[reg]).all()
+    valid = rng.random(probe.shape) < 0.9
+    cd, pd = kv_lookup(
+        jnp.asarray(p2.kv_tbl), p2.shift, p2.cbits, p2.pos_bias,
+        jnp.asarray(probe), jnp.asarray(valid),
+    )
+    cd, pd = np.asarray(cd), np.asarray(pd)
+    assert (cd == np.where(valid, c2, EMPTY)).all()
+    live = valid & (c2 >= 0)
+    assert (pd[live] == p2v[live]).all()
+
+
 def test_kvs_half_size_pack_via_walk():
     # target_load=2.0 (keys/bucket) over 4-slot buckets: ~5% of buckets
     # flag, ~6% of keys spill, and enough spill targets fill up that the
