@@ -208,26 +208,46 @@ class Indexer:
             ctg_all = np.zeros(0, np.int32)
             pos_all = np.zeros(0, np.int32)
 
-        # group by kmer preserving insertion order (stable sort)
-        order = native.stable_argsort_kmers(kmers_all)
-        if order is None:
+        # group by kmer preserving insertion order (stable radix sort of
+        # whole records: streaming passes, no random gathers)
+        n = len(kmers_all)
+        srt = native.sort_entries_by_kmer(kmers_all, ctg_all, pos_all)
+        if srt is not None:
+            self.se_kmer, self.se_contig, self.se_pos = srt
+        else:
             order = np.argsort(kmers_all, kind="stable")
-        self.se_kmer = kmers_all[order]
-        self.se_contig = ctg_all[order]
-        self.se_pos = pos_all[order]
+            # numpy fallback: apply the permutation in ONE random-access
+            # pass over packed 12-byte records instead of three 4-byte
+            # passes — the permute is memory-LATENCY bound (one cache miss
+            # per element), so batching the columns is ~3x cheaper
+            rec = np.empty(
+                n, dtype=[("k", np.uint32), ("c", np.int32), ("p", np.int32)]
+            )
+            rec["k"] = kmers_all
+            rec["c"] = ctg_all
+            rec["p"] = pos_all
+            rec = rec[order]
+            self.se_kmer = np.ascontiguousarray(rec["k"])
+            self.se_contig = np.ascontiguousarray(rec["c"])
+            self.se_pos = np.ascontiguousarray(rec["p"])
         sk = self.se_kmer
         if len(sk):
             # entries are kmer-sorted: group boundaries by adjacency
-            first = np.concatenate([[True], sk[1:] != sk[:-1]])
-            starts = np.nonzero(first)[0]
-            counts = np.diff(np.append(starts, len(sk)))
+            first = np.empty(n, bool)
+            first[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=first[1:])
+            starts = np.nonzero(first)[0]  # int64 already
+            counts = np.empty(len(starts), np.int64)
+            if len(starts) > 1:
+                np.subtract(starts[1:], starts[:-1], out=counts[:-1])
+            counts[-1] = n - starts[-1]
             self.uniq_keys = sk[starts]
         else:
             starts = np.zeros(0, np.int64)
             counts = np.zeros(0, np.int64)
             self.uniq_keys = np.zeros(0, np.uint32)
-        self.group_start = starts.astype(np.int64)
-        self.group_count = counts.astype(np.int64)
+        self.group_start = starts
+        self.group_count = counts
         self.unique_pos = int(np.count_nonzero(counts == 1))
         self.dupe_pos = int(np.count_nonzero(counts > 1))
         log.info("mapper indexing done.")

@@ -62,6 +62,11 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.gf_stable_sort_by_kmer.restype = None
     lib.gf_stable_sort_by_kmer.argtypes = [p(ctypes.c_uint32), i64, p(i64)]
+    lib.gf_sort_entries_by_kmer.restype = None
+    lib.gf_sort_entries_by_kmer.argtypes = [
+        p(ctypes.c_uint32), p(i32), p(i32), i64,
+        p(ctypes.c_uint32), p(i32), p(i32),
+    ]
     lib.gf_pack_table.restype = i64
     lib.gf_pack_table.argtypes = [
         p(ctypes.c_uint32), p(i32), p(i32), i64, p(i32), i64, i32, i32,
@@ -128,6 +133,30 @@ def stable_argsort_kmers(kmers: np.ndarray):
         _ptr(kmers, ctypes.c_uint32), len(kmers), _ptr(order, ctypes.c_int64)
     )
     return order
+
+
+def sort_entries_by_kmer(kmers: np.ndarray, ctgs: np.ndarray, poss: np.ndarray):
+    """Stable radix sort of (kmer, contig, pos) entries by kmer, returning
+    the permuted columns — streaming passes only (no random gathers), ~3x
+    faster than argsort+3-column fancy-indexing on latency-bound hosts.
+    -> (kmers, ctgs, poss) sorted, or None if the native lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(kmers)
+    kmers = np.ascontiguousarray(kmers, np.uint32)
+    ctgs = np.ascontiguousarray(ctgs, np.int32)
+    poss = np.ascontiguousarray(poss, np.int32)
+    k_out = np.empty(n, np.uint32)
+    c_out = np.empty(n, np.int32)
+    p_out = np.empty(n, np.int32)
+    lib.gf_sort_entries_by_kmer(
+        _ptr(kmers, ctypes.c_uint32), _ptr(ctgs, ctypes.c_int32),
+        _ptr(poss, ctypes.c_int32), n,
+        _ptr(k_out, ctypes.c_uint32), _ptr(c_out, ctypes.c_int32),
+        _ptr(p_out, ctypes.c_int32),
+    )
+    return k_out, c_out, p_out
 
 
 def pack_table(

@@ -82,6 +82,46 @@ void gf_stable_sort_by_kmer(const uint32_t* kmers, int64_t n,
   std::memcpy(order_out, cur.data(), (size_t)n * sizeof(int64_t));
 }
 
+// Stable LSD radix sort of (kmer, contig, pos) records by kmer, emitting
+// the permuted columns directly. Unlike gf_stable_sort_by_kmer (which
+// shuffles an index array and leaves three latency-bound random-gather
+// permutes to the caller), every pass here streams records: sequential
+// reads, bucket-sequential writes — no random reads at all.
+void gf_sort_entries_by_kmer(const uint32_t* kmers,
+                             const int32_t* ctgs,
+                             const int32_t* poss, int64_t n,
+                             uint32_t* k_out, int32_t* c_out,
+                             int32_t* p_out) {
+  struct Rec {
+    uint32_t k;
+    int32_t c;
+    int32_t p;
+  };
+  std::vector<Rec> cur((size_t)n), nxt((size_t)n);
+  for (int64_t i = 0; i < n; ++i) cur[i] = {kmers[i], ctgs[i], poss[i]};
+  const int bits[3] = {11, 11, 10};
+  int shift = 0;
+  for (int pass = 0; pass < 3; ++pass) {
+    int b = bits[pass];
+    int64_t buckets = 1ll << b;
+    uint32_t mask = (uint32_t)(buckets - 1);
+    std::vector<int64_t> count((size_t)buckets + 1, 0);
+    for (int64_t i = 0; i < n; ++i) ++count[((cur[i].k >> shift) & mask) + 1];
+    for (int64_t i = 0; i < buckets; ++i) count[i + 1] += count[i];
+    for (int64_t i = 0; i < n; ++i) {
+      uint32_t d = (cur[i].k >> shift) & mask;
+      nxt[count[d]++] = cur[i];
+    }
+    cur.swap(nxt);
+    shift += b;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    k_out[i] = cur[i].k;
+    c_out[i] = cur[i].c;
+    p_out[i] = cur[i].p;
+  }
+}
+
 static inline uint32_t h1(uint32_t k, int shift) {
   return (uint32_t)(k * 0x9E3779B1u) >> shift;
 }
