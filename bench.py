@@ -413,6 +413,93 @@ def run_multi_csv(args):
     )
 
 
+def fastq_files(args, mapper):
+    """Write (once) the bench workload as real gzip-free FASTQ files so the
+    --from-fastq mode exercises the PRODUCT input path (block FASTQ reader
+    -> engine), not prebuilt matrices."""
+    base = os.path.join(
+        CACHE,
+        f"reads_{args.panel_mbp:g}_{args.profile}_{args.pairs}_{args.read_len}",
+    )
+    r1p, r2p = base + "_R1.fq", base + "_R2.fq"
+    if os.path.exists(r1p) and os.path.exists(r2p):
+        return r1p, r2p
+    block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
+
+    def dump(path, b):
+        n = len(b)
+        names = [b.name(i) for i in range(n)]
+        seqs = [
+            b.seq[i, : b.lens[i]].tobytes().decode("latin-1") for i in range(n)
+        ]
+        quals = [
+            b.qual[i, : b.lens[i]].tobytes().decode("latin-1") for i in range(n)
+        ]
+        with open(path, "w") as f:
+            f.write(
+                "".join(
+                    f"{nm}\n{sq}\n+\n{ql}\n"
+                    for nm, sq, ql in zip(names, seqs, quals)
+                )
+            )
+
+    dump(r1p, block.left)
+    dump(r2p, block.right)
+    return r1p, r2p
+
+
+def run_from_fastq(args):
+    """Product-path throughput: stream the workload from REAL FASTQ files
+    through the block reader and engine (closes the 'bench bypasses FASTQ
+    parsing' gap: this is what `python -m genefuserust_tpu` does, minus
+    argparse)."""
+    from genefuserust_tpu.config import Settings
+    from genefuserust_tpu.core.scanner import finish_scan
+    from genefuserust_tpu.io.fastq_block import stream_pair_blocks
+    from genefuserust_tpu.parallel.engine import TpuEngine
+
+    mapper = get_mapper(args.panel_mbp)
+    packed = get_packed(mapper, args.panel_mbp, args.layout, args.kv_load)
+    r1p, r2p = fastq_files(args, mapper)
+    engine = TpuEngine(Settings(), batch_size=args.batch)
+    engine.use_packed(packed)
+    engine._prepared_for = mapper
+
+    def one_pass():
+        t0 = time.time()
+        n = 0
+        for block in stream_pair_blocks(r1p, r2p):
+            n += len(block)
+            engine.scan_pair_block(mapper, block)
+        engine.flush(mapper)
+        return n, time.time() - t0
+
+    n, dt = one_pass()  # warmup: compile + OS page cache
+    print(f"# warmup(compile): {dt:.1f}s, {n} pairs", file=sys.stderr)
+    rates = []
+    for _ in range(args.iters):
+        n, dt = one_pass()
+        rates.append(n / dt)
+    finish_scan(mapper, "", os.path.join(CACHE, "fastq_bench.json"), "bench",
+                Settings())
+    pairs_per_sec = float(np.median(rates))
+    print(
+        f"# fastq-path: {[f'{r:,.0f}' for r in rates]} "
+        f"(median {pairs_per_sec:,.0f})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pe_fastq_path_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
 def run_ab(args):
     """Interleaved A/B: the tunnel's latency drifts run to run, so
     cross-process layout comparisons are confounded — this mode keeps every
@@ -504,6 +591,9 @@ def main():
                     "(default), kv4 = 2-gather 4-wide rows, kvs = "
                     "single-probe 8-wide rows, kv16 = single-gather "
                     "16-wide rows (measured slower; A/B)")
+    ap.add_argument("--from-fastq", action="store_true",
+                    help="stream the workload from real FASTQ files through "
+                    "the product block reader instead of prebuilt matrices")
     ap.add_argument("--ab", type=str, default="",
                     help="interleaved A/B over table layouts, e.g. "
                     "'kv8,kv8:0.9,kvs' (drift-immune paired comparison)")
@@ -536,6 +626,9 @@ def main():
         return
     if args.ab:
         run_ab(args)
+        return
+    if args.from_fastq:
+        run_from_fastq(args)
         return
 
     dev = jax.devices()[0]
