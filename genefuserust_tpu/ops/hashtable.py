@@ -136,11 +136,11 @@ class PackedIndexKV16:
     Falls back to PackedIndexKV when spill placement fails repeatedly or
     the payload bit budget is exceeded (see pack_index_kv16).
 
-    STATUS: correct and equality-tested, but measured SLOWER than the
-    2-gather PackedIndexKV end to end (90.2k vs 125.3k pairs/s, same
-    session) — 16xint32 rows gather at ~2-3x the cost of 8xint32 rows on
-    this TPU. Kept as an A/B layout (bench.py --layout kv16 /
-    GENEFUSE_TABLE_LAYOUT=kv16); not the default."""
+    STATUS: correct and equality-tested, but measured far SLOWER than the
+    2-gather PackedIndexKV end to end (66.3k vs 124.6k pairs/s in the
+    drift-immune interleaved A/B) — row BYTES dominate gather cost, and
+    64B rows pay ~2x over 32B. Kept as an A/B layout (bench.py --layout
+    kv16 / GENEFUSE_TABLE_LAYOUT=kv16); not the default."""
 
     kv_tbl: np.ndarray  # (nb, 16) int32: [k0..k7 | p0..p7]
     dupes: np.ndarray  # (nd, 8) int32 packed payloads
@@ -289,10 +289,13 @@ class PackedIndexKVS:
     to end). Key equality implies hash equality, so clamped probes can
     never produce a false match.
 
-    Rationale: the kv16 A/B showed the single-probe idea is sound but
-    16-wide rows gather at ~2-3x the 8-wide cost; this keeps the row
-    width and drops the probe count — ~1.004 random gathers/query at
-    target_load 1.0 (flagged-bucket rate P[Poisson(1) > 4] ~ 0.4%)."""
+    Rationale: keep the 32B row width and drop the probe count —
+    ~1.004 random gathers/query at target_load 1.0 (flagged-bucket rate
+    P[Poisson(1) > 4] ~ 0.4%). STATUS: interleaved A/B measured it
+    between the kv8 loads (132.8k at λ=0.89/1077MB vs kv8 124.6k@540MB,
+    but behind kv8@272MB's 140.2k and far behind kv4's 157.4k) — the
+    flag/need2 vector overhead plus table size eat the saved gather.
+    Kept for A/B; not the default."""
 
     kv_tbl: np.ndarray  # (nb, 8) int32: [k0..k3 | p0..p3]
     dupes: np.ndarray  # (nd, 8) int32 packed payloads
