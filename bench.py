@@ -91,7 +91,7 @@ def get_mapper(panel_mbp: float):
 # the single-probe layouts.
 _LAYOUTS = {
     "kv8": ("v4kv", 0.7, 0.9),
-    "kv4": ("v6kv4", 0.9, 0.9),
+    "kv4": ("v6kv4", 0.6, 0.6),
     "kv2": ("v7kv2", 0.5, 0.5),
     "kvs": ("v5kvs", 1.0, 1.0),
     "kv16": ("v5kv16", 4.0, 4.0),
@@ -585,12 +585,11 @@ def main():
     ap.add_argument("--kv-load", type=float, default=None,
                     help="table target load factor (higher = smaller table "
                     "= cheaper gathers; default = the layout's own)")
-    ap.add_argument("--layout", choices=["kv8", "kv4", "kv2", "kvs", "kv16"],
-                    default="kv8",
-                    help="device table layout: kv8 = 2-gather 8-wide rows "
-                    "(default), kv4 = 2-gather 4-wide rows, kvs = "
-                    "single-probe 8-wide rows, kv16 = single-gather "
-                    "16-wide rows (measured slower; A/B)")
+    ap.add_argument("--layout", choices=["kv4", "kv8", "kv2", "kvs", "kv16"],
+                    default="kv4",
+                    help="device table layout: kv4 = 2-gather 4-wide rows "
+                    "(default, measured fastest), kv8 = 2-gather 8-wide "
+                    "rows, kv2/kvs/kv16 = A/B variants")
     ap.add_argument("--from-fastq", action="store_true",
                     help="stream the workload from real FASTQ files through "
                     "the product block reader instead of prebuilt matrices")

@@ -568,16 +568,15 @@ def lookup_np_kvs(packed: PackedIndexKVS, kmers: np.ndarray):
 
 def build_packed_index(indexer, layout: str = None):
     """Build the device table in the preferred layout with fallbacks:
-    kv (two gathers, the measured-fastest default) -> split (three
-    gathers). `layout` or the GENEFUSE_TABLE_LAYOUT env var ('kv16' |
-    'kv8' | 'split') pins a layout for perf A/B runs; unavailable layouts
-    still fall through so a forced choice can never fail a run.
+    kv4 (narrow 4xint32 rows, two gathers — the measured-fastest layout:
+    row BYTES dominate TPU gather cost, see PERF.md 'table-layout study')
+    -> kv8 (8xint32 rows) -> split (three gathers). `layout` or the
+    GENEFUSE_TABLE_LAYOUT env var ('kv4' | 'kv8' | 'kvs' | 'kv16' |
+    'split') pins a layout for perf A/B runs; unavailable layouts still
+    fall through so a forced choice can never fail a run.
 
-    kv16 (single gather per query) is correct and equality-tested but
-    measured SLOWER end to end (90.2k vs 125.3k pairs/s, same session,
-    bench.py --layout A/B): 16xint32 rows gather at ~2-3x the cost of
-    8xint32 rows on this TPU, outweighing the halved probe count. See
-    PERF.md 'Negative results'."""
+    The single-probe layouts (kvs/kv16) are correct and equality-tested
+    but measured slower end to end; they remain as A/B options."""
     import os
 
     layout = layout or os.environ.get("GENEFUSE_TABLE_LAYOUT", "auto")
@@ -589,7 +588,11 @@ def build_packed_index(indexer, layout: str = None):
         p = pack_index_kvs(indexer)
         if p is not None:
             return p
-    if layout in ("auto", "kv16", "kvs", "kv8"):
+    if layout in ("auto", "kv4"):
+        p = pack_index_kv(indexer, target_load=0.6, slots=2)
+        if p is not None:
+            return p
+    if layout in ("auto", "kv4", "kv16", "kvs", "kv8"):
         p = pack_index_kv(indexer)
         if p is not None:
             return p
