@@ -571,9 +571,9 @@ def build_packed_index(indexer, layout: str = None):
     kv4 (narrow 4xint32 rows, two gathers — the measured-fastest layout:
     row BYTES dominate TPU gather cost, see PERF.md 'table-layout study')
     -> kv8 (8xint32 rows) -> split (three gathers). `layout` or the
-    GENEFUSE_TABLE_LAYOUT env var ('kv4' | 'kv8' | 'kvs' | 'kv16' |
-    'split') pins a layout for perf A/B runs; unavailable layouts still
-    fall through so a forced choice can never fail a run.
+    GENEFUSE_TABLE_LAYOUT env var ('kv4' | 'kv2' | 'kv8' | 'kvs' |
+    'kv16' | 'split') pins a layout for perf A/B runs; unavailable
+    layouts still fall through so a forced choice can never fail a run.
 
     The single-probe layouts (kvs/kv16) are correct and equality-tested
     but measured slower end to end; they remain as A/B options."""
@@ -588,11 +588,15 @@ def build_packed_index(indexer, layout: str = None):
         p = pack_index_kvs(indexer)
         if p is not None:
             return p
-    if layout in ("auto", "kv4"):
+    if layout == "kv2":
+        p = pack_index_kv(indexer, target_load=0.5, slots=1)
+        if p is not None:
+            return p
+    if layout in ("auto", "kv4", "kv2"):
         p = pack_index_kv(indexer, target_load=0.6, slots=2)
         if p is not None:
             return p
-    if layout in ("auto", "kv4", "kv16", "kvs", "kv8"):
+    if layout in ("auto", "kv4", "kv2", "kv16", "kvs", "kv8"):
         p = pack_index_kv(indexer)
         if p is not None:
             return p

@@ -265,9 +265,15 @@ def test_kvs_half_size_pack_via_walk():
     assert (p == poss).all()
 
 
-def test_kvs_engine_full_scan_equality(tmp_path, monkeypatch):
-    # the production engine with GENEFUSE_TABLE_LAYOUT=kvs must match the
-    # host oracle (results + JSON) on a planted-fusion panel
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["kvs", "kv2"])
+def test_engine_full_scan_equality_alt_layouts(tmp_path, monkeypatch, layout):
+    # the production engine with GENEFUSE_TABLE_LAYOUT pinned to an
+    # alternate table layout must match the host oracle (results + JSON)
+    # on a planted-fusion panel (kv4, the default, is covered by the main
+    # engine equality suite)
     from genefuserust_tpu.core.scanner import Scanner
     from genefuserust_tpu.parallel.engine import TpuEngine
     from genefuserust_tpu.utils.synthetic import plant_fusion_pairs
@@ -279,19 +285,19 @@ def test_kvs_engine_full_scan_equality(tmp_path, monkeypatch):
     def scan(engine, name):
         scanner = Scanner(
             csv_path, panel.contigs, "", str(tmp_path / name), Settings(),
-            engine=engine, command="kvs-equality-test",
+            engine=engine, command="layout-equality-test",
         )
         mapper = scanner.scan_pairs(pairs)
         return mapper, (tmp_path / name).read_text()
 
     m_host, json_host = scan(HostEngine(), "host.json")
-    monkeypatch.setenv("GENEFUSE_TABLE_LAYOUT", "kvs")
-    m_kvs, json_kvs = scan(TpuEngine(Settings(), batch_size=64), "kvs.json")
-    assert len(m_host.fusion_results) == len(m_kvs.fusion_results)
-    for a, b in zip(m_host.fusion_results, m_kvs.fusion_results):
+    monkeypatch.setenv("GENEFUSE_TABLE_LAYOUT", layout)
+    m_alt, json_alt = scan(TpuEngine(Settings(), batch_size=64), "alt.json")
+    assert len(m_host.fusion_results) == len(m_alt.fusion_results)
+    for a, b in zip(m_host.fusion_results, m_alt.fusion_results):
         assert a.title == b.title
         assert a.unique == b.unique
     strip = lambda s: "\n".join(
         l for l in s.splitlines() if not l.startswith('\t"time"')
     )
-    assert strip(json_host) == strip(json_kvs)
+    assert strip(json_host) == strip(json_alt)
