@@ -462,8 +462,7 @@ def run_from_fastq(args):
     packed = get_packed(mapper, args.panel_mbp, args.layout, args.kv_load)
     r1p, r2p = fastq_files(args, mapper)
     engine = TpuEngine(Settings(), batch_size=args.batch)
-    engine.use_packed(packed)
-    engine._prepared_for = mapper
+    engine.use_packed(packed, mapper)
 
     def one_pass():
         t0 = time.time()
@@ -519,8 +518,7 @@ def run_ab(args):
     for layout, load in specs:
         packed = get_packed(mapper, args.panel_mbp, layout, load)
         eng = TpuEngine(Settings(), batch_size=args.batch)
-        eng.use_packed(packed)
-        eng._prepared_for = mapper
+        eng.use_packed(packed, mapper)
         name = f"{layout}:{load:g}" if load is not None else layout
         m0 = sum(len(b) for b in mapper.fusion_matches)
         t0 = time.time()
@@ -639,8 +637,7 @@ def main():
     print(f"# mapper+index ready: {time.time() - t0:.1f}s", file=sys.stderr)
 
     engine = TpuEngine(Settings(), batch_size=args.batch)
-    engine.use_packed(packed)
-    engine._prepared_for = mapper
+    engine.use_packed(packed, mapper)
 
     block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
 

@@ -21,6 +21,27 @@ JSON/HTML layout) follow the reference byte-for-byte; every module docstring
 cites the reference file:line it reproduces.
 """
 
+import os as _os
+
+# Large-allocation hygiene: numpy >=1.22 madvises MADV_HUGEPAGE on big
+# mallocs; on hosts where THP compaction is slow this turns first-touch
+# page faults into the dominant cost of every genome-scale build
+# (measured here: 512 MB np.empty+fill 4-13 s with hugepages vs 0.27 s
+# without — ~25-50x). Default it OFF for this process; honor an explicit
+# user setting either way.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # numpy may already be imported by the embedding process
+    if _os.environ["NUMPY_MADVISE_HUGEPAGE"] == "0":
+        import numpy as _np  # noqa: F401
+
+        try:
+            from numpy._core import multiarray as _ma  # numpy 2.x
+        except ImportError:  # pragma: no cover - numpy 1.x
+            from numpy.core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+except Exception:  # pragma: no cover - never block import on tuning
+    pass
+
 from .version import GENEFUSE_VER
 
 __all__ = ["GENEFUSE_VER"]

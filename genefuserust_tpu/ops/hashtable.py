@@ -192,9 +192,11 @@ def _kv_budget(contigs, poss, dupes, max_dupe):
     return cbits, pbits, pos_bias
 
 
-def pack_index_kv(indexer, target_load: float = 0.9, slots: int = KV_SLOTS):
+def pack_index_kv(indexer, target_load: float = 0.9, slots: int = KV_SLOTS,
+                  max_buckets: int = 1 << 27):
     """Build the combined key+value device table, or return None when the
-    panel exceeds the packed-payload bit budget (then use pack_index).
+    panel exceeds the packed-payload bit budget or 2-choice placement
+    cannot fit under `max_buckets` rows (then use pack_index).
 
     `target_load` bounds keys/(buckets*KV_SLOTS) before pow2 rounding;
     2-choice placement over 4-slot buckets converges well above 0.9, and a
@@ -214,7 +216,8 @@ def pack_index_kv(indexer, target_load: float = 0.9, slots: int = KV_SLOTS):
     nb = 16
     while nb * slots * target_load < max(len(keys), 1):
         nb *= 2
-    while True:
+    table = None
+    while nb <= max_buckets:
         shift = 32 - int(round(np.log2(nb)))
         table = native.pack_table(keys, contigs, poss, nb, shift, slots, EMPTY)
         if table is None:
@@ -229,6 +232,8 @@ def pack_index_kv(indexer, target_load: float = 0.9, slots: int = KV_SLOTS):
         if table is not None:
             break
         nb *= 2
+    if table is None:
+        return None
 
     empty = table[:, :, 1] == EMPTY
     tkeys = table[:, :, 0].copy()
@@ -430,11 +435,19 @@ def _spill_walk(keys, retry, b1_all, h2_all, ovf, cap, used, out_b, out_s,
                 if movable(int(occupant[b, s]), b)
             ]
             if not cands:
-                b = targets[-1]
-                cands = [
-                    s for s in range(int(cap[b]))
-                    if movable(int(occupant[b, s]), b)
-                ] or list(range(int(cap[b])))
+                for b in reversed(targets):
+                    cands = [
+                        s for s in range(int(cap[b]))
+                        if movable(int(occupant[b, s]), b)
+                    ]
+                    if cands:
+                        break
+            if not cands:
+                # every occupant of every legal bucket is pinned (its only
+                # legal home is this bucket): evicting one can only thrash
+                # until max_kicks, so fail fast and let the caller double
+                # nb / fall back to another layout
+                return False
             s = cands[int(rng.integers(len(cands)))]
             victim = int(occupant[b, s])
             occupant[b, s] = cur

@@ -46,6 +46,7 @@ tests/test_engine_equality.py); only the schedule differs.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -77,13 +78,18 @@ class _Fetch:
     `copy_to_host_async` issued at construction lands, then (3) calls
     `np.asarray`, which is now a local copy (~0 ms) in the common case."""
 
-    __slots__ = ("_arr", "_out", "_thread")
+    __slots__ = ("_arr", "_out", "_exc", "_thread")
+
+    # bytes/s assumed for the post-is_ready D2H grace sleep; override for
+    # fast local links via GENEFUSE_FETCH_BPS (0 disables the grace)
+    _GRACE_BPS = float(os.environ.get("GENEFUSE_FETCH_BPS", 20e6) or 0)
 
     def __init__(self, arr):
         import threading
 
         self._arr = arr
         self._out = None
+        self._exc = None
         if arr is None:
             self._thread = None
             return
@@ -104,15 +110,20 @@ class _Fetch:
             # grace for the async D2H copy (~20 MB/s on tunneled links,
             # plus a round trip); np.asarray below blocks (GIL held) only
             # for whatever remains
-            time.sleep(min(0.5, 0.05 + arr.nbytes / 20e6))
-        except Exception:
-            pass
-        self._out = np.asarray(arr)
+            if self._GRACE_BPS > 0:
+                time.sleep(min(0.5, 0.05 + arr.nbytes / self._GRACE_BPS))
+            self._out = np.asarray(arr)
+        except Exception as e:  # surfaced from get(), not lost in the thread
+            self._exc = e
 
     def get(self):
         if self._thread is None:
             return None
         self._thread.join()
+        if self._out is None:
+            if self._exc is not None:
+                raise self._exc
+            return np.asarray(self._arr)  # last-resort synchronous fetch
         return self._out
 
 
@@ -254,22 +265,39 @@ class TpuEngine:
             statics=statics,
         )
 
-    def use_packed(self, packed) -> None:
-        """Install a pre-built device index for the next-prepared mapper."""
-        self._default_entry = self._entry_from_packed(packed)
+    def use_packed(self, packed, mapper=None) -> None:
+        """Install a pre-built device index. With `mapper`, it is bound to
+        that mapper immediately; without, it is consumed by the first
+        mapper `_table_entry` sees (the historical next-prepared
+        contract, now honored without callers poking privates)."""
+        entry = self._entry_from_packed(packed)
+        if mapper is not None:
+            entry["mapper"] = mapper
+            self._tables[id(mapper)] = entry
+        else:
+            self._default_entry = entry
+            self._prepared_for = None
 
     def _table_entry(self, mapper) -> dict:
+        # keyed by id(mapper); each entry pins the mapper so the id cannot
+        # be recycled by a different FusionMapper while the entry lives
         key = id(mapper)
         e = self._tables.get(key)
         if e is not None:
+            assert e.get("mapper") is mapper
             return e
-        if self._default_entry is not None and self._prepared_for is mapper:
-            self._tables[key] = self._default_entry
-            return self._default_entry
+        if self._default_entry is not None and (
+            self._prepared_for is None or self._prepared_for is mapper
+        ):
+            e, self._default_entry = self._default_entry, None
+            e["mapper"] = mapper
+            self._tables[key] = e
+            return e
         from ..ops.hashtable import build_packed_index
 
         packed = build_packed_index(mapper.indexer)
         e = self._entry_from_packed(packed)
+        e["mapper"] = mapper
         self._tables[key] = e
         log.info(
             "device index ready: %d buckets, %.1f MB%s",

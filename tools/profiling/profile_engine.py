@@ -50,8 +50,7 @@ def main():
     mapper = benchmod.get_mapper(15.2)
     packed = benchmod.get_packed(mapper, 15.2)
     engine = eng.TpuEngine(Settings(), batch_size=BS)
-    engine.use_packed(packed)
-    engine._prepared_for = mapper
+    engine.use_packed(packed, mapper)
 
     engine._st0_produce = wrap("st0_produce(merge+pack+upload)", engine._st0_produce)
     engine._fetch_merge = wrap("st1_fetch_merge", engine._fetch_merge)
