@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="file name to store JSON report, default is genefuse.json",
     )
     p.add_argument(
-        "-t", "--thread", type=int, default=None, help="worker thread number, default 4"
+        "-t", "--thread", type=int, default=None,
+        help="worker thread number (maps to the engine's in-flight batch "
+        "bound; unset uses the tuned pipeline depth 6)",
     )
     p.add_argument(
         "-d",
