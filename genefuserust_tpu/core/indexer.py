@@ -233,10 +233,12 @@ class Indexer:
         sk = self.se_kmer
         if len(sk):
             # entries are kmer-sorted: group boundaries by adjacency
-            first = np.empty(n, bool)
-            first[0] = True
-            np.not_equal(sk[1:], sk[:-1], out=first[1:])
-            starts = np.nonzero(first)[0]  # int64 already
+            starts = native.group_starts(sk)
+            if starts is None:
+                first = np.empty(n, bool)
+                first[0] = True
+                np.not_equal(sk[1:], sk[:-1], out=first[1:])
+                starts = np.nonzero(first)[0]  # int64 already
             counts = np.empty(len(starts), np.int64)
             if len(starts) > 1:
                 np.subtract(starts[1:], starts[:-1], out=counts[:-1])

@@ -120,12 +120,28 @@ class Matcher:
     def _make_index(self, contigs: Dict[str, str]) -> None:
         """matcher.rs:120-169 + index_contig_bytes:227-289, single-threaded
         deterministic order (name-sorted contigs)."""
+        from .. import native
+        from .sequence import encode_bases
+
         for ctg, (name, seq) in enumerate(contigs.items()):
             self.contig_names.append(name)
-            b = np.frombuffer(seq.upper().encode("latin-1"), np.uint8)
-            n = len(b)
+            su = seq.upper()
+            n = len(su)
             if n <= KMER:
                 continue
+            # native single-pass scan (capped run counters; exact same keep
+            # set as the vectorized fallback below, cross-checked in tests)
+            nat = native.matcher_scan(encode_bases(su), self._bloom_bits)
+            if nat is not None:
+                poss, keys = nat
+                for k in range(4):
+                    sel = poss[keys == k]
+                    if len(sel):
+                        self.kmer_positions.setdefault(k, []).extend(
+                            (ctg, i) for i in sel.tolist()
+                        )
+                continue
+            b = np.frombuffer(su.encode("latin-1"), np.uint8)
             codes = _CODE_LUT[b]
             # positions iterated: 0 .. n-KMER-1 (bound excludes last kmer)
             m = n - KMER

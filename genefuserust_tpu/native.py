@@ -34,7 +34,7 @@ def _compile() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _SO],
+             "-pthread", _SRC, "-o", _SO],
             check=True,
             capture_output=True,
         )
@@ -66,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gf_sort_entries_by_kmer.argtypes = [
         p(ctypes.c_uint32), p(i32), p(i32), i64,
         p(ctypes.c_uint32), p(i32), p(i32),
+    ]
+    lib.gf_group_starts.restype = i64
+    lib.gf_group_starts.argtypes = [p(ctypes.c_uint32), i64, p(i64)]
+    lib.gf_matcher_scan.restype = i64
+    lib.gf_matcher_scan.argtypes = [
+        p(ctypes.c_uint8), i64, ctypes.c_uint8,
+        p(i32), p(ctypes.c_uint8),
     ]
     lib.gf_pack_table.restype = i64
     lib.gf_pack_table.argtypes = [
@@ -157,6 +164,45 @@ def sort_entries_by_kmer(kmers: np.ndarray, ctgs: np.ndarray, poss: np.ndarray):
         _ptr(p_out, ctypes.c_int32),
     )
     return k_out, c_out, p_out
+
+
+def group_starts(sorted_kmers: np.ndarray):
+    """Run-start indices of a kmer-sorted array (parallel native pass).
+    -> int64 starts array, or None if the native lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    sorted_kmers = np.ascontiguousarray(sorted_kmers, np.uint32)
+    out = np.empty(len(sorted_kmers), np.int64)
+    m = lib.gf_group_starts(
+        _ptr(sorted_kmers, ctypes.c_uint32), len(sorted_kmers),
+        _ptr(out, ctypes.c_int64),
+    )
+    return out[:m]
+
+
+def matcher_scan(codes: np.ndarray, bloom_bits) -> Optional[tuple]:
+    """Quirk-faithful Matcher contig scan (see gf_matcher_scan / the
+    core/matcher.py module docstring). codes: uint8 2-bit codes with 255
+    invalid; bloom_bits: iterable of key values 0..3 present in the bloom.
+    -> (positions i32, keys u8) ascending, or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes)
+    mask = 0
+    for b in bloom_bits:
+        if 0 <= int(b) <= 3:
+            mask |= 1 << int(b)
+    cap = max(0, n - 16)
+    out_pos = np.empty(cap, np.int32)
+    out_key = np.empty(cap, np.uint8)
+    m = lib.gf_matcher_scan(
+        _ptr(codes, ctypes.c_uint8), n, mask,
+        _ptr(out_pos, ctypes.c_int32), _ptr(out_key, ctypes.c_uint8),
+    )
+    return out_pos[:m], out_key[:m]
 
 
 def pack_table(

@@ -71,6 +71,10 @@ def pack_index_sharded(indexer, n_shards: int):
     r_pos = indexer.se_pos[rows]
     r_shard = owner[r_contig]
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import native
+
     packs: List[PackedIndex] = []
     per_shard = []
     max_keys = 1
@@ -78,17 +82,31 @@ def pack_index_sharded(indexer, n_shards: int):
         sel = r_shard == s
         sk, sc, sp = r_kmer[sel], r_contig[sel], r_pos[sel]
         # group within shard (stable by kmer; insertion order preserved)
-        order = np.argsort(sk, kind="stable")
-        sk, sc, sp = sk[order], sc[order], sp[order]
+        srt = native.sort_entries_by_kmer(sk, sc, sp)
+        if srt is not None:
+            sk, sc, sp = srt
+        else:
+            order = np.argsort(sk, kind="stable")
+            sk, sc, sp = sk[order], sc[order], sp[order]
         per_shard.append((sk, sc, sp))
         # count shard-local unique keys for sizing
-        nk = len(np.unique(sk)) if len(sk) else 1
+        if len(sk):
+            gs = native.group_starts(sk)
+            nk = len(gs) if gs is not None else len(np.unique(sk))
+        else:
+            nk = 1
         max_keys = max(max_keys, nk)
     nb = 16
     while nb * 2 < max_keys:
         nb *= 2
     while True:
-        packs = [_pack_entries(sk, sc, sp, nb, thr) for sk, sc, sp in per_shard]
+        # shard packs are independent; gf_pack_table releases the GIL, so
+        # thread-parallel across shards (the host analog of the reference's
+        # rayon index build, matcher.rs:154-161)
+        with ThreadPoolExecutor(max_workers=min(4, max(1, n_shards))) as ex:
+            packs = list(
+                ex.map(lambda a: _pack_entries(*a, nb, thr), per_shard)
+            )
         if all(p is not None for p in packs):
             return owner, packs
         nb *= 2  # a shard overflowed: retry all at the common doubled size
@@ -105,8 +123,12 @@ def _pack_entries(sk, sc, sp, nb, thr):
             table, np.full((1, 1, 2), EMPTY, np.int32), nb,
             32 - int(np.log2(nb)), 1,
         )
-    first = np.concatenate([[True], sk[1:] != sk[:-1]])
-    gstart = np.nonzero(first)[0]
+    from .. import native
+
+    gstart = native.group_starts(sk)
+    if gstart is None:
+        first = np.concatenate([[True], sk[1:] != sk[:-1]])
+        gstart = np.nonzero(first)[0]
     gcount = np.diff(np.append(gstart, len(sk)))
     uk = sk[gstart]
     is_reg = gcount == 1
@@ -130,8 +152,6 @@ def _pack_entries(sk, sc, sp, nb, thr):
         dupes[:, :, 0] = np.where(valid, sc[srcc], EMPTY)
         dupes[:, :, 1] = np.where(valid, sp[srcc], 0)
     shift = 32 - int(round(np.log2(nb)))
-    from .. import native
-
     table = native.pack_table(keys, contigs, poss, nb, shift, SLOTS, EMPTY)
     if table is None:
         table = _build(keys, contigs, poss, nb, shift)

@@ -214,30 +214,33 @@ _CSS = (
     "</style>"
 )
 
+# NOTE: the reference writes these via Rust string-continuation escapes
+# (`\` + newline, html_reporter.rs:164-192), which strip the newline AND the
+# next line's leading whitespace — so the emitted JS has no indentation.
 _JS = (
     '<script type="text/javascript">\n'
     "function toggle(targetid){ \n"
-    "                        if (document.getElementById){ \n"
-    "                            target=document.getElementById(targetid); \n"
-    "                                if (target.style.display=='table-row'){ \n"
-    "                                    target.style.display='none'; \n"
-    "                                } else { \n"
-    "                                    target.style.display='table-row'; \n"
-    "                                } \n"
-    "                        } \n"
-    "                    }"
+    "if (document.getElementById){ \n"
+    "target=document.getElementById(targetid); \n"
+    "if (target.style.display=='table-row'){ \n"
+    "target.style.display='none'; \n"
+    "} else { \n"
+    "target.style.display='table-row'; \n"
+    "} \n"
+    "} \n"
+    "}"
     "function toggle_target_list(targetid){ \n"
-    "                        if (document.getElementById){ \n"
-    "                            target=document.getElementById(targetid); \n"
-    "                                if (target.style.display=='block'){ \n"
-    "                                    target.style.display='none'; \n"
-    "                                    document.getElementById('target_view_btn').value='view';\n"
-    "                                } else { \n"
-    "                                    document.getElementById('target_view_btn').value='hide';\n"
-    "                                    target.style.display='block'; \n"
-    "                                } \n"
-    "                        } \n"
-    "                    }"
+    "if (document.getElementById){ \n"
+    "target=document.getElementById(targetid); \n"
+    "if (target.style.display=='block'){ \n"
+    "target.style.display='none'; \n"
+    "document.getElementById('target_view_btn').value='view';\n"
+    "} else { \n"
+    "document.getElementById('target_view_btn').value='hide';\n"
+    "target.style.display='block'; \n"
+    "} \n"
+    "} \n"
+    "}"
     "</script>"
 )
 

@@ -12,8 +12,10 @@
 // caller-allocated numpy arrays.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <random>
 #include <thread>
 #include <vector>
@@ -82,11 +84,16 @@ void gf_stable_sort_by_kmer(const uint32_t* kmers, int64_t n,
   std::memcpy(order_out, cur.data(), (size_t)n * sizeof(int64_t));
 }
 
-// Stable LSD radix sort of (kmer, contig, pos) records by kmer, emitting
-// the permuted columns directly. Unlike gf_stable_sort_by_kmer (which
-// shuffles an index array and leaves three latency-bound random-gather
-// permutes to the caller), every pass here streams records: sequential
-// reads, bucket-sequential writes — no random reads at all.
+// Stable radix sort of (kmer, contig, pos) records by kmer, emitting the
+// permuted columns directly (no random-gather permute left to the caller).
+//
+// Structure (genome-scale hot path; the reference parallelizes its index
+// build via rayon, src/core/matcher.rs:154-161 — this is the TPU repo's
+// host analog): a parallel stable MSD partition on the high 11 bits
+// (per-thread block histograms -> bucket-major/thread-minor offsets ->
+// parallel scatter), then per-bucket stable LSD on the low 21 bits, each
+// bucket being cache-resident (~n/2048 records), processed by a thread
+// pool. One full-size DRAM scatter pass total instead of three.
 void gf_sort_entries_by_kmer(const uint32_t* kmers,
                              const int32_t* ctgs,
                              const int32_t* poss, int64_t n,
@@ -97,29 +104,144 @@ void gf_sort_entries_by_kmer(const uint32_t* kmers,
     int32_t c;
     int32_t p;
   };
-  std::vector<Rec> cur((size_t)n), nxt((size_t)n);
-  for (int64_t i = 0; i < n; ++i) cur[i] = {kmers[i], ctgs[i], poss[i]};
-  const int bits[3] = {11, 11, 10};
-  int shift = 0;
-  for (int pass = 0; pass < 3; ++pass) {
-    int b = bits[pass];
-    int64_t buckets = 1ll << b;
-    uint32_t mask = (uint32_t)(buckets - 1);
-    std::vector<int64_t> count((size_t)buckets + 1, 0);
-    for (int64_t i = 0; i < n; ++i) ++count[((cur[i].k >> shift) & mask) + 1];
-    for (int64_t i = 0; i < buckets; ++i) count[i + 1] += count[i];
-    for (int64_t i = 0; i < n; ++i) {
-      uint32_t d = (cur[i].k >> shift) & mask;
-      nxt[count[d]++] = cur[i];
+  if (n <= 0) return;
+  const int HB = 11;              // MSD partition width
+  const int64_t NB = 1ll << HB;   // 2048 top-level buckets
+  const int HS = 32 - HB;         // 21 low bits remain per bucket
+  int T = (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  if (n < (1 << 16)) T = 1;
+  std::unique_ptr<Rec[]> buf(new Rec[(size_t)n]);  // no zero-init
+  auto blk = [&](int t, int64_t* lo, int64_t* hi) {
+    *lo = n * t / T;
+    *hi = n * (t + 1) / T;
+  };
+  // per-thread histograms of the high bits
+  std::vector<std::vector<int64_t>> hist(
+      (size_t)T, std::vector<int64_t>((size_t)NB, 0));
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t)
+      ths.emplace_back([&, t] {
+        int64_t lo, hi;
+        blk(t, &lo, &hi);
+        int64_t* h = hist[t].data();
+        for (int64_t i = lo; i < hi; ++i) ++h[kmers[i] >> HS];
+      });
+    for (auto& th : ths) th.join();
+  }
+  // exclusive offsets: bucket-major, thread-minor (stability across blocks)
+  std::vector<int64_t> bstart((size_t)NB + 1, 0);
+  {
+    int64_t run = 0;
+    for (int64_t b = 0; b < NB; ++b) {
+      bstart[b] = run;
+      for (int t = 0; t < T; ++t) {
+        int64_t c = hist[t][b];
+        hist[t][b] = run;
+        run += c;
+      }
     }
-    cur.swap(nxt);
-    shift += b;
+    bstart[NB] = run;
   }
-  for (int64_t i = 0; i < n; ++i) {
-    k_out[i] = cur[i].k;
-    c_out[i] = cur[i].c;
-    p_out[i] = cur[i].p;
+  // parallel stable scatter into top-level buckets
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t)
+      ths.emplace_back([&, t] {
+        int64_t lo, hi;
+        blk(t, &lo, &hi);
+        int64_t* off = hist[t].data();
+        for (int64_t i = lo; i < hi; ++i) {
+          uint32_t b = kmers[i] >> HS;
+          buf[off[b]++] = {kmers[i], ctgs[i], poss[i]};
+        }
+      });
+    for (auto& th : ths) th.join();
   }
+  // per-bucket LSD (11 + 10 low bits), cache-resident; then column copy-out
+  std::atomic<int64_t> next{0};
+  auto worker = [&] {
+    std::vector<Rec> scratch;
+    std::vector<int64_t> cnt((size_t)(1 << 11) + 1);
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= NB) break;
+      const int64_t lo = bstart[b], hi = bstart[b + 1], m = hi - lo;
+      if (m > 1) {
+        if ((int64_t)scratch.size() < m) scratch.resize((size_t)m);
+        const int bits2[2] = {11, 10};
+        int shift = 0;
+        Rec* src = buf.get() + lo;
+        Rec* dst = scratch.data();
+        for (int pass = 0; pass < 2; ++pass) {
+          const int64_t nb2 = 1ll << bits2[pass];
+          const uint32_t mask = (uint32_t)(nb2 - 1);
+          std::fill(cnt.begin(), cnt.begin() + nb2 + 1, 0);
+          for (int64_t i = 0; i < m; ++i)
+            ++cnt[((src[i].k >> shift) & mask) + 1];
+          for (int64_t i = 0; i < nb2; ++i) cnt[i + 1] += cnt[i];
+          for (int64_t i = 0; i < m; ++i) {
+            uint32_t d = (src[i].k >> shift) & mask;
+            dst[cnt[d]++] = src[i];
+          }
+          std::swap(src, dst);
+          shift += bits2[pass];
+        }
+        // two passes: result landed back at buf+lo
+      }
+      for (int64_t i = lo; i < hi; ++i) {
+        k_out[i] = buf[i].k;
+        c_out[i] = buf[i].c;
+        p_out[i] = buf[i].p;
+      }
+    }
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t) ths.emplace_back(worker);
+    for (auto& th : ths) th.join();
+  }
+}
+
+// Group boundaries of a kmer-sorted array: writes the start index of each
+// distinct-key run into out_starts (ascending) and returns the run count.
+// Parallel two-pass (per-block boundary counts -> prefix -> fill).
+int64_t gf_group_starts(const uint32_t* kmers, int64_t n,
+                        int64_t* out_starts) {
+  if (n <= 0) return 0;
+  int T = (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  if (n < (1 << 18)) T = 1;
+  std::vector<int64_t> cnt((size_t)T, 0);
+  auto is_start = [&](int64_t i) {
+    return i == 0 || kmers[i] != kmers[i - 1];
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t)
+      ths.emplace_back([&, t] {
+        int64_t lo = n * t / T, hi = n * (t + 1) / T, c = 0;
+        for (int64_t i = lo; i < hi; ++i) c += is_start(i);
+        cnt[t] = c;
+      });
+    for (auto& th : ths) th.join();
+  }
+  std::vector<int64_t> off((size_t)T + 1, 0);
+  for (int t = 0; t < T; ++t) off[t + 1] = off[t] + cnt[t];
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t)
+      ths.emplace_back([&, t] {
+        int64_t lo = n * t / T, hi = n * (t + 1) / T, w = off[t];
+        for (int64_t i = lo; i < hi; ++i)
+          if (is_start(i)) out_starts[w++] = i;
+      });
+    for (auto& th : ths) th.join();
+  }
+  return off[T];
 }
 
 static inline uint32_t h1(uint32_t k, int shift) {
@@ -183,6 +305,86 @@ int64_t gf_pack_table(const uint32_t* keys, const int32_t* contigs,
     if (!ok) ++failed;
   }
   return failed;
+}
+
+// Quirk-faithful Matcher genome scan (reference src/core/matcher.rs:227-289
+// via the mistranslated make_kmer, :810-885 — see core/matcher.py's module
+// docstring). A position i in [0, n-16) is indexed iff:
+//   - codes[i] is a valid base (run ending at i is > 0),
+//   - the preceding min(run,16)-1 bases are all 'A' (code 0) — this is
+//     exactly the "masked k-mer value <= 3" condition, and
+//   - bit codes[i] of bloom_mask is set.
+// The stored key is codes[i] (in 0..3). Single streaming pass with two
+// capped run counters; chunk-parallel over threads (16-base lookback
+// rebuilds the capped state exactly).
+int64_t gf_matcher_scan(const uint8_t* codes, int64_t n, uint8_t bloom_mask,
+                        int32_t* out_pos, uint8_t* out_key) {
+  const int K = 16;
+  const int64_t m = n - K;
+  if (m <= 0) return 0;
+  int T = (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  if (m < (1 << 18)) T = 1;
+  // per-chunk outputs then stitch (keeps ascending position order)
+  std::vector<std::vector<int32_t>> cpos((size_t)T);
+  std::vector<std::vector<uint8_t>> ckey((size_t)T);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < T; ++t)
+    ths.emplace_back([&, t] {
+      int64_t lo = m * t / T, hi = m * (t + 1) / T;
+      auto& vp = cpos[t];
+      auto& vk = ckey[t];
+      // warm capped counters from up to K bases of lookback
+      int run = 0;   // consecutive valid ending at i-1, capped at K
+      int arun = 0;  // consecutive code==0 ending at i-1, capped at K
+      for (int64_t j = lo - (int64_t)K; j < lo; ++j) {
+        if (j < 0) continue;
+        uint8_t c = codes[j];
+        if (c > 3) {
+          run = 0;
+          arun = 0;
+        } else {
+          if (run < K) ++run;
+          if (c == 0) {
+            if (arun < K) ++arun;
+          } else {
+            arun = 0;
+          }
+        }
+      }
+      for (int64_t i = lo; i < hi; ++i) {
+        uint8_t c = codes[i];
+        if (c > 3) {
+          run = 0;
+          arun = 0;
+          continue;
+        }
+        int r = (run < K) ? run + 1 : K;  // run INCLUDING position i
+        int w = r;                        // min(run, 16), r already capped
+        // previous w-1 bases all 'A'
+        if ((w <= 1 || arun >= w - 1) && (bloom_mask >> c) & 1) {
+          vp.push_back((int32_t)i);
+          vk.push_back(c);
+        }
+        run = r;
+        if (c == 0) {
+          if (arun < K) ++arun;
+        } else {
+          arun = 0;
+        }
+      }
+    });
+  for (auto& th : ths) th.join();
+  int64_t total = 0;
+  for (int t = 0; t < T; ++t) {
+    if (cpos[t].empty()) continue;
+    std::memcpy(out_pos + total, cpos[t].data(),
+                cpos[t].size() * sizeof(int32_t));
+    std::memcpy(out_key + total, ckey[t].data(), ckey[t].size());
+    total += (int64_t)cpos[t].size();
+  }
+  return total;
 }
 
 // Byte -> 2-bit code tokenization (A=0,T=1,C=2,G=3, else 255), uppercase
