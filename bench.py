@@ -613,6 +613,41 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # Device-availability watchdog: when the axon tunnel is wedged,
+    # jax.devices() hangs indefinitely (round-2/3 outages). Fail fast with
+    # a parseable diagnostic line instead of eating the driver's timeout.
+    import threading
+
+    init_done = threading.Event()
+    init_timeout = float(os.environ.get("GENEFUSE_BENCH_INIT_TIMEOUT", 600))
+
+    def _watchdog():
+        if not init_done.wait(init_timeout):
+            print(
+                f"# FATAL: TPU backend init exceeded {init_timeout:.0f}s "
+                "(device unavailable / tunnel wedged)",
+                file=sys.stderr,
+                flush=True,
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": "pe_pairs_per_sec_per_chip",
+                        "value": 0,
+                        "unit": "pairs/s",
+                        "vs_baseline": 0,
+                        "error": "device unavailable: backend init timeout",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()  # blocks here if the device is wedged
+    init_done.set()
+
     import jax.numpy as jnp
 
     from genefuserust_tpu.config import Settings
