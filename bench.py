@@ -583,11 +583,11 @@ def main():
     ap.add_argument("--kv-load", type=float, default=None,
                     help="table target load factor (higher = smaller table "
                     "= cheaper gathers; default = the layout's own)")
-    ap.add_argument("--layout", choices=["kv4", "kv8", "kv2", "kvs", "kv16"],
-                    default="kv4",
-                    help="device table layout: kv4 = 2-gather 4-wide rows "
-                    "(default, measured fastest), kv8 = 2-gather 8-wide "
-                    "rows, kv2/kvs/kv16 = A/B variants")
+    ap.add_argument("--layout", choices=["kv2", "kv4", "kv8", "kvs", "kv16"],
+                    default="kv2",
+                    help="device table layout: kv2 = 2-gather 2-wide rows "
+                    "(default, measured fastest), kv4 = 2-gather 4-wide "
+                    "rows, kv8/kvs/kv16 = A/B variants")
     ap.add_argument("--from-fastq", action="store_true",
                     help="stream the workload from real FASTQ files through "
                     "the product block reader instead of prebuilt matrices")

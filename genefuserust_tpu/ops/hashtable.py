@@ -581,12 +581,14 @@ def lookup_np_kvs(packed: PackedIndexKVS, kmers: np.ndarray):
 
 def build_packed_index(indexer, layout: str = None):
     """Build the device table in the preferred layout with fallbacks:
-    kv4 (narrow 4xint32 rows, two gathers — the measured-fastest layout:
-    row BYTES dominate TPU gather cost, see PERF.md 'table-layout study')
-    -> kv8 (8xint32 rows) -> split (three gathers). `layout` or the
-    GENEFUSE_TABLE_LAYOUT env var ('kv4' | 'kv2' | 'kv8' | 'kvs' |
-    'kv16' | 'split') pins a layout for perf A/B runs; unavailable
-    layouts still fall through so a forced choice can never fail a run.
+    kv2 (minimal 2xint32 rows, single-slot cuckoo, two gathers — the
+    measured-fastest layout: row BYTES dominate TPU gather cost, and 8B
+    rows beat 16B in both arm orders of the interleaved A/B; see PERF.md
+    'table-layout study') -> kv4 (4xint32 rows) -> kv8 (8xint32 rows) ->
+    split (three gathers). `layout` or the GENEFUSE_TABLE_LAYOUT env var
+    ('kv2' | 'kv4' | 'kv8' | 'kvs' | 'kv16' | 'split') pins a layout for
+    perf A/B runs; unavailable layouts still fall through so a forced
+    choice can never fail a run.
 
     The single-probe layouts (kvs/kv16) are correct and equality-tested
     but measured slower end to end; they remain as A/B options."""
@@ -601,7 +603,7 @@ def build_packed_index(indexer, layout: str = None):
         p = pack_index_kvs(indexer)
         if p is not None:
             return p
-    if layout == "kv2":
+    if layout in ("auto", "kv2"):
         p = pack_index_kv(indexer, target_load=0.5, slots=1)
         if p is not None:
             return p
