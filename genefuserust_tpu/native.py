@@ -91,6 +91,12 @@ def _load() -> Optional[ctypes.CDLL]:
         p(u8), p(i32), p(u8), p(u8), p(i32), p(u8),
         p(i32), i64, p(i32), i64, p(i64),
     ]
+    lib.gf_fastq_dims.restype = None
+    lib.gf_fastq_dims.argtypes = [p(u8), i64, i64, p(i64)]
+    lib.gf_fastq_fill.restype = None
+    lib.gf_fastq_fill.argtypes = [
+        p(u8), i64, i64, i64, p(i64), p(i64), p(u8), p(u8), p(i32),
+    ]
     _lib = lib
     return _lib
 
@@ -356,6 +362,43 @@ def merge_pack_pe_fallback(b1, q1, b2, q2, l1, l2, L: int):
         m_exc=np.asarray(m_exc, np.int32).reshape(-1, 2),
         u_exc=np.asarray(u_exc, np.int32).reshape(-1, 2),
     )
+
+
+def parse_fastq_block(data: bytes, line_limit: int):
+    """Two-pass native FASTQ block parse (GIL released for the whole
+    buffer scan — the numpy parser's fancy indexing holds it and starves
+    the scan pipeline when parsing runs in a prefetch thread).
+
+    -> (n, name_spans (n,2) i64, strand_spans (n,2) i64, seq (n,L) u8,
+        qual (n,L) u8, lens (n,) i32, bad_line) or None when the native
+    library is unavailable. bad_line >= 0 flags the first line whose
+    content meets `line_limit` (caller raises, matching the reference
+    LimitedBufReader panic); the other outputs are then meaningless."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    u8 = ctypes.c_uint8
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    dims = np.zeros(3, np.int64)
+    lib.gf_fastq_dims(_ptr(buf, u8), len(buf), line_limit, _ptr(dims, i64))
+    n, max_seq, bad = int(dims[0]), int(dims[1]), int(dims[2])
+    if bad >= 0:
+        return n, None, None, None, None, None, bad
+    L = max(1, max_seq)
+    name_spans = np.empty((n, 2), np.int64)
+    strand_spans = np.empty((n, 2), np.int64)
+    seq = np.empty((n, L), np.uint8)
+    qual = np.empty((n, L), np.uint8)
+    lens = np.empty(n, np.int32)
+    if n:
+        lib.gf_fastq_fill(
+            _ptr(buf, u8), len(buf), n, L,
+            _ptr(name_spans, i64), _ptr(strand_spans, i64),
+            _ptr(seq, u8), _ptr(qual, u8), _ptr(lens, i32),
+        )
+    return n, name_spans, strand_spans, seq, qual, lens, -1
 
 
 def pack_pe_batch(b1, q1, b2, q2, l1, l2, L: int, out_rows: int):

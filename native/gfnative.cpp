@@ -653,4 +653,85 @@ void gf_merge_pack_pe2(const uint8_t* b1, const uint8_t* q1,
   counts[3] = n_ue;
 }
 
+// FASTQ block parser, pass 1: line census of a raw buffer.
+// Semantics mirror io/fastq_block.parse_fastq_buffer (which mirrors the
+// reference 4-line record reader, src/core/fastq_reader.rs:19-219, with
+// the LimitedBufReader 1000-byte line cap): a trailing line without a
+// newline counts as a line; a line of >= `limit` content bytes is a
+// violation EXCEPT a final unterminated line of exactly `limit` bytes
+// (nothing remains after the take budget, so the reference does not
+// panic there).
+// out[0] = n complete 4-line records
+// out[1] = max seq-line length over those records (lines 1 mod 4)
+// out[2] = first violating line index, or -1
+void gf_fastq_dims(const uint8_t* buf, int64_t len, int64_t limit,
+                   int64_t* out) {
+  int64_t n_lines = 0, bad = -1;
+  int64_t max_seq_all = 0, max_seq_prev = 0;  // over seq lines; excl. last
+  int64_t last_seq_idx = -1, last_seq_len = 0;
+  int64_t pos = 0;
+  while (pos < len) {
+    const void* nlp = memchr(buf + pos, '\n', (size_t)(len - pos));
+    int64_t end = nlp ? (int64_t)((const uint8_t*)nlp - buf) : len;
+    int64_t L = end - pos;
+    bool unterminated = (nlp == nullptr);
+    if (L >= limit && bad < 0 && !(unterminated && L == limit)) bad = n_lines;
+    if ((n_lines & 3) == 1) {
+      if (last_seq_len > max_seq_prev) max_seq_prev = last_seq_len;
+      if (max_seq_prev > max_seq_all) max_seq_all = max_seq_prev;
+      last_seq_idx = n_lines;
+      last_seq_len = L;
+      if (L > max_seq_all) max_seq_all = L;
+    }
+    ++n_lines;
+    pos = end + 1;
+  }
+  int64_t n = n_lines / 4;
+  // the last seq line may belong to a dropped partial record
+  out[0] = n;
+  out[1] = (last_seq_idx >= 4 * n) ? max_seq_prev : max_seq_all;
+  out[2] = bad;
+}
+
+// FASTQ block parser, pass 2: fill spans + zero-padded seq/qual matrices
+// for the first n records. seq rows are exact (L >= every record seq
+// length by pass 1); qual rows longer than L are truncated to L (the
+// numpy parser's [:, :L]). lens[] carries true seq lengths.
+void gf_fastq_fill(const uint8_t* buf, int64_t len, int64_t n, int64_t L,
+                   int64_t* name_spans, int64_t* strand_spans,
+                   uint8_t* seq, uint8_t* qual, int32_t* lens) {
+  int64_t pos = 0;
+  for (int64_t line = 0; line < 4 * n && pos <= len; ++line) {
+    const void* nlp =
+        pos < len ? memchr(buf + pos, '\n', (size_t)(len - pos)) : nullptr;
+    int64_t end = nlp ? (int64_t)((const uint8_t*)nlp - buf) : len;
+    int64_t Ll = end - pos;
+    int64_t r = line >> 2;
+    switch (line & 3) {
+      case 0:
+        name_spans[2 * r] = pos;
+        name_spans[2 * r + 1] = end;
+        break;
+      case 1: {
+        int64_t c = Ll < L ? Ll : L;
+        memcpy(seq + r * L, buf + pos, (size_t)c);
+        memset(seq + r * L + c, 0, (size_t)(L - c));
+        lens[r] = (int32_t)Ll;
+        break;
+      }
+      case 2:
+        strand_spans[2 * r] = pos;
+        strand_spans[2 * r + 1] = end;
+        break;
+      case 3: {
+        int64_t c = Ll < L ? Ll : L;
+        memcpy(qual + r * L, buf + pos, (size_t)c);
+        memset(qual + r * L + c, 0, (size_t)(L - c));
+        break;
+      }
+    }
+    pos = end + 1;
+  }
+}
+
 }  // extern "C"

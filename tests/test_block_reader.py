@@ -169,6 +169,63 @@ def test_mismatched_widths_and_short_reads(tmp_path):
     assert mh2.fusion_results == [] and mt2.fusion_results == []
 
 
+def test_native_parser_equals_numpy():
+    """The native gf_fastq_dims/gf_fastq_fill parser must agree with the
+    vectorized numpy parser field-for-field on every edge the numpy
+    parser defines (it in turn mirrors the reference record semantics,
+    src/core/fastq_reader.rs:19-219 + the LimitedBufReader line cap)."""
+    import pytest
+
+    from genefuserust_tpu import native
+    from genefuserust_tpu.io.fastq_block import (
+        _parse_fastq_buffer_np,
+        parse_fastq_buffer,
+    )
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rec = b"@r1 d\nACGTACGTAC\n+x\nIIIIIIIIII\n"
+    cases = [
+        b"",
+        rec,
+        rec * 3,
+        rec * 2 + b"@partial\nACGT",  # partial record dropped
+        # partial record whose seq line is the LONGEST -> must not widen L
+        rec + b"@p\n" + b"A" * 500 + b"\n+",
+        # final unterminated line
+        rec[:-1],
+        # qual line longer than seq line (truncated to L)
+        b"@a\nACGT\n+\nIIIIIIIIII\n",
+        # varying lengths
+        b"@a\nACGTACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIIIIIII\n@b\nAC\n+\nJJ\n",
+        # final unterminated line of exactly 1000 bytes: allowed
+        rec + b"@x\n" + b"A" * 1000,
+    ]
+    for data in cases:
+        a = parse_fastq_buffer(data)  # native
+        b = _parse_fastq_buffer_np(data)
+        assert len(a) == len(b)
+        assert a.seq.shape == b.seq.shape, data[:40]
+        np.testing.assert_array_equal(a.seq, b.seq)
+        np.testing.assert_array_equal(a.qual, b.qual)
+        np.testing.assert_array_equal(a.lens, b.lens)
+        np.testing.assert_array_equal(a.name_spans, b.name_spans)
+        np.testing.assert_array_equal(a.strand_spans, b.strand_spans)
+
+    # line-limit violations raise identically (index + message)
+    bad_cases = [
+        b"@x\n" + b"A" * 1000 + b"\n+\nI\n",        # terminated 1000B line
+        rec + b"@y\n" + b"A" * 1500 + b"\nrest\n",  # mid-file long line
+    ]
+    for data in bad_cases:
+        with pytest.raises(RuntimeError) as e1:
+            parse_fastq_buffer(data)
+        with pytest.raises(RuntimeError) as e2:
+            _parse_fastq_buffer_np(data)
+        assert str(e1.value) == str(e2.value)
+
+
 def test_strand_line_preserved(tmp_path):
     p = tmp_path / "s.fq"
     p.write_text("@a desc\nACGTACGTACGTACGTACGT\n+a extra text\nIIIIIIIIIIIIIIIIIIII\n")
