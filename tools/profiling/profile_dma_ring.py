@@ -59,7 +59,7 @@ def build(nb, W, NFLIGHT, grid, interpret=False):
                 return acc
 
             acc = jax.lax.fori_loop(0, TILE, step, jnp.int32(0))
-            o_ref[0, g] = acc
+            o_ref[g] = acc  # SMEM output: scalar stores are legal there
 
         pl.run_scoped(
             body,
@@ -71,7 +71,7 @@ def build(nb, W, NFLIGHT, grid, interpret=False):
     def run(idx, tbl):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((1, grid), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((grid,), jnp.int32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
                 grid=(grid,),
@@ -79,9 +79,15 @@ def build(nb, W, NFLIGHT, grid, interpret=False):
                     pl.BlockSpec(
                         (TILE,), lambda g: (g,), memory_space=pltpu.SMEM
                     ),
-                    pl.BlockSpec(memory_space=pl.ANY),
+                    # HBM explicitly: ANY lets the compiler put small tables
+                    # in VMEM, where dynamic row slices must be 128-lane
+                    # aligned (Mosaic compile error). Production tables are
+                    # hundreds of MB and live in HBM anyway.
+                    pl.BlockSpec(memory_space=pltpu.HBM),
                 ],
-                out_specs=pl.BlockSpec((1, grid), lambda g: (0, 0)),
+                out_specs=pl.BlockSpec(
+                    (grid,), lambda g: (0,), memory_space=pltpu.SMEM
+                ),
             ),
             interpret=interpret,
         )(idx, tbl)
@@ -101,7 +107,7 @@ def case(nb, W, NFLIGHT, grid, interpret, seed=0):
     tbl = rng.integers(0, 50, (nb, W)).astype(np.int32)
     idx = rng.integers(0, nb, grid * TILE).astype(np.int32)
     fn = build(nb, W, NFLIGHT, grid, interpret)
-    out = np.asarray(fn(jnp.asarray(idx), jnp.asarray(tbl)))[0]
+    out = np.asarray(fn(jnp.asarray(idx), jnp.asarray(tbl)))
     exp = ref_sums(idx, tbl, grid)
     assert np.array_equal(out, exp), (out[:8], exp[:8])
     return fn, idx, tbl
@@ -123,15 +129,17 @@ def main():
 
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
     if mode == "device":
-        # tiny first: one tile, double buffer
-        case(nb=4096, W=8, NFLIGHT=2, grid=1, interpret=False)
-        print("device smoke NFLIGHT=2 W=8: ok")
-        case(nb=1 << 20, W=8, NFLIGHT=8, grid=4, interpret=False)
-        print("device smoke NFLIGHT=8 W=8 1M-row table: ok")
+        # Mosaic constraint (measured on-device): DMA slice minormost dim
+        # must be 128-lane aligned — so the probe fetches whole 128-lane
+        # lines (512B for int32). W=128 is the only legal row width.
+        case(nb=4096, W=128, NFLIGHT=2, grid=1, interpret=False)
+        print("device smoke NFLIGHT=2 W=128: ok")
+        case(nb=1 << 20, W=128, NFLIGHT=8, grid=4, interpret=False)
+        print("device smoke NFLIGHT=8 W=128 1M-row table: ok")
         return
 
     # bench: ns/row vs the XLA take at the same shape
-    W = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    W = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     NFLIGHT = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     nb = 1 << 22
     grid = 128
