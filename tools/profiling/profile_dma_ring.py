@@ -138,6 +138,58 @@ def main():
         print("device smoke NFLIGHT=8 W=128 1M-row table: ok")
         return
 
+    if mode == "fori":
+        # in-jit fori timing (the only dispatch-latency-free methodology on
+        # this tunnel; content varied per iter to defeat memoization)
+        W = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+        NFLIGHT = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        NIT = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        # production-scale table: 1M lines x 512B = 512MB (kv2 at 15.2Mbp)
+        nb = 1 << 20
+        grid = 128
+        NQ = grid * TILE
+        rng = np.random.default_rng(1)
+        tbl = rng.integers(0, 50, (nb, W)).astype(np.int32)
+        idx = rng.integers(0, nb, grid * TILE).astype(np.int32)
+        # equality already proven by `device` mode; build fn directly
+        fn = build(nb, W, NFLIGHT, grid) if W % 128 == 0 else None
+        didx = jnp.asarray(idx)
+        dtbl = jnp.asarray(tbl)
+
+        def make_loop(f, n):
+            @jax.jit
+            def loop(idx, tbl, salt):
+                def body(i, acc):
+                    v = (idx + (salt + i) * jnp.int32(1640531527)) % nb
+                    return acc + f(v, tbl).sum()
+
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+            return loop
+
+        @jax.jit
+        def xla_take(idx, tbl):
+            return jnp.take(tbl, idx, axis=0).sum(axis=1)
+
+        arms = [("pallas ring", fn), ("xla take", xla_take)]
+        for name, f in [(n, f) for n, f in arms if f is not None]:
+            l1 = make_loop(f, 1)
+            lN = make_loop(f, NIT)
+            np.asarray(l1(didx, dtbl, jnp.int32(0)))  # warm/compile
+            np.asarray(lN(didx, dtbl, jnp.int32(1)))
+            t0 = time.time()
+            a = np.asarray(l1(didx, dtbl, jnp.int32(100)))
+            t1 = time.time()
+            b = np.asarray(lN(didx, dtbl, jnp.int32(200)))
+            t2 = time.time()
+            per = ((t2 - t1) - (t1 - t0)) / (NIT - 1)
+            print(
+                f"{name:12s} W={W} NFLIGHT={NFLIGHT}: {per * 1e3:8.2f} ms/iter "
+                f"({per / NQ * 1e9:6.2f} ns/row)  [1-iter {t1 - t0:.3f}s, "
+                f"{NIT}-iter {t2 - t1:.3f}s]"
+            )
+        return
+
     # bench: ns/row vs the XLA take at the same shape
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     NFLIGHT = int(sys.argv[3]) if len(sys.argv) > 3 else 8
