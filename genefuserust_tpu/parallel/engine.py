@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -76,17 +77,26 @@ class _Fetch:
     (1) polls `is_ready()` (non-blocking, instant) in a sleep loop that
     releases the GIL, (2) sleeps a transfer-sized grace so the
     `copy_to_host_async` issued at construction lands, then (3) calls
-    `np.asarray`, which is now a local copy (~0 ms) in the common case."""
+    `np.asarray`, which is now a local copy (~0 ms) in the common case.
+
+    The grace is sized from an effective-D2H-bandwidth estimate that
+    AUTO-CALIBRATES from observed fetches: it starts dev-tunnel
+    conservative (20 MB/s) and converges toward the real link speed — a
+    residual blocking `np.asarray` means the grace was too short (lower
+    the estimate to what this fetch actually achieved); an instant one
+    means the link outran the estimate (raise it geometrically). Setting
+    GENEFUSE_FETCH_BPS pins the estimate (0 disables the grace)."""
 
     __slots__ = ("_arr", "_out", "_exc", "_thread")
 
-    # bytes/s assumed for the post-is_ready D2H grace sleep; override for
-    # fast local links via GENEFUSE_FETCH_BPS (0 disables the grace)
-    _GRACE_BPS = float(os.environ.get("GENEFUSE_FETCH_BPS", 20e6) or 0)
+    _BPS_PINNED = os.environ.get("GENEFUSE_FETCH_BPS", "") != ""
+    # bytes/s for the post-is_ready D2H grace sleep (see docstring)
+    _bps = float(os.environ.get("GENEFUSE_FETCH_BPS") or 20e6)
+    _GRACE_FLOOR = 0.05  # round-trip allowance, seconds
+    _CAL_MIN_BYTES = 1 << 16  # tiny fetches sit on the floor; skip them
+    _cal_lock = threading.Lock()
 
     def __init__(self, arr):
-        import threading
-
         self._arr = arr
         self._out = None
         self._exc = None
@@ -107,12 +117,34 @@ class _Fetch:
         try:
             while not arr.is_ready():
                 time.sleep(0.004)
-            # grace for the async D2H copy (~20 MB/s on tunneled links,
-            # plus a round trip); np.asarray below blocks (GIL held) only
-            # for whatever remains
-            if self._GRACE_BPS > 0:
-                time.sleep(min(0.5, 0.05 + arr.nbytes / self._GRACE_BPS))
+            # grace for the async D2H copy (plus a round trip); np.asarray
+            # below blocks (GIL held) only for whatever remains
+            cls = type(self)
+            bps = cls._bps
+            grace = 0.0
+            if bps > 0:
+                grace = min(0.5, cls._GRACE_FLOOR + arr.nbytes / bps)
+                time.sleep(grace)
+            t0 = time.monotonic()
             self._out = np.asarray(arr)
+            resid = time.monotonic() - t0
+            if (
+                not cls._BPS_PINNED
+                and bps > 0
+                and arr.nbytes >= cls._CAL_MIN_BYTES
+            ):
+                with cls._cal_lock:
+                    cur = cls._bps
+                    if resid > 0.02:
+                        # grace too short: this fetch's whole post-ready
+                        # transfer bounds the achieved bandwidth from above
+                        eff = arr.nbytes / max(
+                            grace - cls._GRACE_FLOOR + resid, 1e-3
+                        )
+                        cls._bps = max(1e6, min(cur, eff))
+                    elif resid < 0.005 and grace > cls._GRACE_FLOOR + 0.01:
+                        # instant asarray: the link outran the estimate
+                        cls._bps = min(1e10, cur * 1.25)
         except Exception as e:  # surfaced from get(), not lost in the thread
             self._exc = e
 

@@ -131,7 +131,7 @@ def main():
     if mode == "device":
         # Mosaic constraint (measured on-device): DMA slice minormost dim
         # must be 128-lane aligned — so the probe fetches whole 128-lane
-        # lines (512B for int32). W=128 is the only legal row width.
+        # lines (512B for int32). Row width must be a multiple of 128 lanes.
         case(nb=4096, W=128, NFLIGHT=2, grid=1, interpret=False)
         print("device smoke NFLIGHT=2 W=128: ok")
         case(nb=1 << 20, W=128, NFLIGHT=8, grid=4, interpret=False)
@@ -153,6 +153,11 @@ def main():
         idx = rng.integers(0, nb, grid * TILE).astype(np.int32)
         # equality already proven by `device` mode; build fn directly
         fn = build(nb, W, NFLIGHT, grid) if W % 128 == 0 else None
+        if fn is None:
+            print(
+                f"pallas ring skipped: W must be a multiple of 128 (got {W})",
+                file=sys.stderr,
+            )
         didx = jnp.asarray(idx)
         dtbl = jnp.asarray(tbl)
 
@@ -193,6 +198,11 @@ def main():
     # bench: ns/row vs the XLA take at the same shape
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     NFLIGHT = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    if W % 128 != 0:
+        sys.exit(
+            f"bench: W must be a multiple of 128 lanes (got {W}) — "
+            "Mosaic requires 128-lane-aligned DMA slices"
+        )
     nb = 1 << 22
     grid = 128
     NQ = grid * TILE
