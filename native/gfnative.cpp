@@ -251,13 +251,128 @@ static inline uint32_t h2(uint32_t k, int shift) {
   return (uint32_t)((k ^ (k >> 15)) * 0x85EBCA6Bu + 0xC2B2AE35u) >> shift;
 }
 
+// Static cuckoo placement for slots==1 via XOR-peeling over the cuckoo
+// graph: buckets are nodes, each key an edge between its two candidate
+// buckets. Peel degree-1 buckets (their sole incident key is forced
+// there), then orient the remaining pure cycles; a component with more
+// keys than buckets is infeasible and reports failures so the caller
+// doubles nb. O(n + nb) with no eviction chains — replaces the
+// random-walk path, whose chains blow up near the slots=1 feasibility
+// bound (load 0.5): 111s -> seconds at 30M keys (PERF.md round 3).
+// Deterministic (no RNG). Any valid placement is equivalent at lookup
+// time (probes check both buckets).
+static int64_t pack_table_peel(const uint32_t* keys, const int32_t* contigs,
+                               const int32_t* poss, int64_t n,
+                               int32_t* table, int64_t nb, int32_t shift) {
+  // per-bucket state packed into ONE u64 so every graph touch is a single
+  // cache line: [deg:16 | pad:7 | used:1 | pad:8 | xs:32]
+  constexpr uint64_t DEG1 = 1ULL << 48;
+  constexpr uint64_t USED = 1ULL << 40;
+  std::vector<uint64_t> node((size_t)nb, 0);
+  // degree/xs build: parallel with relaxed atomics (buckets are shared)
+  {
+    int T = (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if (T > 16) T = 16;
+    if (n < (1 << 20)) T = 1;
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; ++t)
+      ths.emplace_back([&, t] {
+        int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        for (int64_t e = lo; e < hi; ++e) {
+          uint32_t b1 = h1(keys[e], shift), b2 = h2(keys[e], shift);
+          __atomic_fetch_add(&node[b1], DEG1, __ATOMIC_RELAXED);
+          __atomic_fetch_xor(&node[b1], (uint64_t)(uint32_t)e,
+                             __ATOMIC_RELAXED);
+          if (b2 != b1) {
+            __atomic_fetch_add(&node[b2], DEG1, __ATOMIC_RELAXED);
+            __atomic_fetch_xor(&node[b2], (uint64_t)(uint32_t)e,
+                               __ATOMIC_RELAXED);
+          }
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+  std::vector<uint8_t> assigned((size_t)n, 0);
+  auto place1 = [&](int64_t e, uint32_t b) {
+    int64_t base = (int64_t)b * 3;
+    table[base] = (int32_t)keys[e];
+    table[base + 1] = contigs[e];
+    table[base + 2] = poss[e];
+    node[b] |= USED;
+    assigned[e] = 1;
+  };
+  auto remove_edge = [&](int64_t e) {
+    uint32_t b1 = h1(keys[e], shift), b2 = h2(keys[e], shift);
+    node[b1] -= DEG1; node[b1] ^= (uint32_t)e;
+    if (b2 != b1) { node[b2] -= DEG1; node[b2] ^= (uint32_t)e; }
+  };
+  auto deg_of = [&](uint32_t b) { return (uint32_t)(node[b] >> 48); };
+  auto used_of = [&](uint32_t b) { return (node[b] & USED) != 0; };
+  auto xs_of = [&](uint32_t b) { return (uint32_t)node[b]; };
+  // phase 1: peel degree-1 buckets frontier-by-frontier (the frontier
+  // array enables software prefetch across the random node/key touches)
+  std::vector<uint32_t> q, nxt;
+  q.reserve(1 << 16);
+  nxt.reserve(1 << 16);
+  for (int64_t b = 0; b < nb; ++b)
+    if ((node[b] >> 48) == 1) q.push_back((uint32_t)b);
+  constexpr size_t PF = 8;
+  while (!q.empty()) {
+    const size_t m = q.size();
+    for (size_t i = 0; i < m; ++i) {
+      if (i + PF < m) __builtin_prefetch(&node[q[i + PF]]);
+      uint32_t b = q[i];
+      uint64_t st = node[b];
+      if ((st >> 48) != 1 || (st & USED)) continue;
+      int64_t e = (uint32_t)st;
+      place1(e, b);
+      uint32_t b1 = h1(keys[e], shift), b2 = h2(keys[e], shift);
+      uint32_t o = (b == b1) ? b2 : b1;
+      remove_edge(e);
+      if (o != b && deg_of(o) == 1 && !used_of(o)) nxt.push_back(o);
+    }
+    q.swap(nxt);
+    nxt.clear();
+  }
+  // phase 2: remaining components are cycles (feasible) or denser
+  // (infeasible); walk each cycle, forcing direction from the first edge
+  int64_t failed = 0;
+  for (int64_t e0 = 0; e0 < n; ++e0) {
+    if (assigned[e0]) continue;
+    uint32_t c1 = h1(keys[e0], shift), c2 = h2(keys[e0], shift);
+    uint32_t b;
+    if (!used_of(c1)) b = c1;
+    else if (!used_of(c2)) b = c2;
+    else { ++failed; continue; }
+    int64_t cur = e0;
+    while (true) {
+      place1(cur, b);
+      uint32_t b1 = h1(keys[cur], shift), b2 = h2(keys[cur], shift);
+      uint32_t o = (b == b1) ? b2 : b1;
+      remove_edge(cur);
+      if (o == b || used_of(o) || deg_of(o) != 1) break;  // closed or stuck
+      cur = xs_of(o);
+      b = o;
+      if (assigned[cur]) break;
+    }
+  }
+  if (!failed)
+    for (int64_t e = 0; e < n; ++e)
+      if (!assigned[e]) { failed = 1; break; }
+  return failed;
+}
+
 // Sequential 2-choice placement with cuckoo-eviction fallback.
 // table layout: (nb, slots, 3) int32 rows [key, contig, pos]; empty contig
 // sentinel must be pre-filled by the caller (-3). Returns 0 on success,
-// number of unplaceable keys on failure.
+// number of unplaceable keys on failure. slots==1 dispatches to the
+// XOR-peel matcher above.
 int64_t gf_pack_table(const uint32_t* keys, const int32_t* contigs,
                       const int32_t* poss, int64_t n, int32_t* table,
                       int64_t nb, int32_t shift, int32_t slots) {
+  if (slots == 1 && n < ((int64_t)1 << 31))
+    return pack_table_peel(keys, contigs, poss, n, table, nb, shift);
   std::vector<uint8_t> fill((size_t)nb, 0);
   auto place = [&](uint32_t key, int32_t ctg, int32_t pos, uint32_t b) {
     int64_t base = ((int64_t)b * slots + fill[b]) * 3;
