@@ -17,6 +17,9 @@ import re
 
 import pytest
 
+from ref_template_util import fn_body as _fn_body
+from ref_template_util import write_literals as _write_literals
+
 from genefuserust_tpu.config import Settings
 from genefuserust_tpu.core.scanner import Scanner
 from genefuserust_tpu.utils.synthetic import (
@@ -32,81 +35,6 @@ pytestmark = pytest.mark.skipif(
 )
 
 WILDCARD = object()  # spans the reference fills at runtime
-
-
-def _unescape_rust(lit: str) -> str:
-    """Unescape a Rust string literal body (the part between quotes)."""
-    out = []
-    i = 0
-    n = len(lit)
-    while i < n:
-        ch = lit[i]
-        if ch == "\\":
-            nxt = lit[i + 1]
-            if nxt == "n":
-                out.append("\n")
-                i += 2
-            elif nxt == "t":
-                out.append("\t")
-                i += 2
-            elif nxt == "r":
-                out.append("\r")
-                i += 2
-            elif nxt == '"':
-                out.append('"')
-                i += 2
-            elif nxt == "'":
-                out.append("'")
-                i += 2
-            elif nxt == "\\":
-                out.append("\\")
-                i += 2
-            elif nxt == "\n":
-                # line continuation: strip the newline + leading whitespace
-                i += 2
-                while i < n and lit[i] in " \t":
-                    i += 1
-            else:  # pragma: no cover - no other escapes in the template
-                raise AssertionError(f"unhandled escape \\{nxt}")
-        else:
-            out.append(ch)
-            i += 1
-    return "".join(out)
-
-
-def _fn_body(src: str, name: str) -> str:
-    """Extract the body of `fn name(...)` by brace matching."""
-    m = re.search(rf"fn {name}\b[^{{]*\{{", src)
-    assert m, name
-    depth = 1
-    i = m.end()
-    while depth:
-        if src[i] == "{":
-            depth += 1
-        elif src[i] == "}":
-            depth -= 1
-        i += 1
-    return src[m.end() : i - 1]
-
-
-def _write_literals(body: str):
-    """First string literal of each write!(...) call, in source order."""
-    lits = []
-    for m in re.finditer(r"write!\s*\(", body):
-        i = m.end()
-        # find the first double quote after the stream arg
-        while body[i] != '"':
-            i += 1
-        j = i + 1
-        while True:
-            if body[j] == "\\":
-                j += 2
-                continue
-            if body[j] == '"':
-                break
-            j += 1
-        lits.append(_unescape_rust(body[i + 1 : j]))
-    return lits
 
 
 @pytest.fixture(scope="module")
