@@ -1,18 +1,32 @@
-"""Pallas k-mer table lookup kernel (correctness-first implementation).
+"""Pallas k-mer table lookup kernel (correctness oracle; CLOSED as a
+performance direction — round 4).
 
 Round-1 status: logic-complete and equality-tested against ops/map_read.py
-hash_lookup in INTERPRET mode (runs on CPU, zero device risk). This is the
-starting point for the round-2 performance kernel: the XLA gather path
-costs ~17ns per 8xint32 key row (PERF.md); the goal here is deep
-outstanding-DMA pipelining toward DRAM-latency-bound (~4-8ns/row).
+hash_lookup in INTERPRET mode. The round-2/3 plan was deep outstanding-DMA
+pipelining toward DRAM-latency-bound (~4-8ns/row) to beat the XLA gather.
 
-Platform constraints learned on axon (see PERF.md / profile_pallas_gather):
-  - out BlockSpec shapes must be tile-aligned or whole-array;
-  - SMEM query blocks must match the XLA layout (T(1024) for int32 1-D);
-  - a buggy in-flight DMA ring crashes the backend at RUNTIME and wedges
-    the device for ~6 minutes — keep the ring OFF until developed in an
-    isolated session. This version issues one DMA pair per query
-    sequentially (latency-bound but safe and exact).
+Round-4 VERDICT (measured on the real v5e, content-salted in-jit fori
+timing — tools/profiling/profile_dma_ring.py, full table in PERF.md
+"Round 4: Pallas lookup — measured negative result"):
+
+    pipelined DMA ring   137.5-138.6 ns/row, FLAT across NFLIGHT 4/8/16
+    XLA row gather         5.4-8.9  ns/row  (same shapes, same runs)
+
+The ring is DMA-ISSUE-RATE bound: each query costs one scalar-core loop
+iteration (descriptor build + start + wait bookkeeping) at ~138ns, and no
+amount of in-flight depth changes that — latency was never the
+bottleneck. A per-query-DMA Pallas kernel therefore CANNOT beat the XLA
+gather on this hardware; the XLA path in ops/map_read.py IS the product
+scan, by measurement rather than by default. Vectorized in-VMEM
+alternatives were analyzed and rejected: Mosaic's lax.gather lowering
+requires out.shape == x.shape == idx.shape (tpu.dynamic_gather), which
+cannot express Q-queries-into-R-rows; one-hot MXU matmul pays more in
+one-hot construction (Q*R VPU compares) than the gather costs; and
+sorted tile-join variants need >=2 extra multi-million-row device sorts
+per batch, exceeding the 45-50% Amdahl share pass-1 lookups hold.
+
+This file is kept as the interpret-mode correctness oracle for the
+table probe semantics (tests/test_pallas_lookup.py).
 """
 
 from __future__ import annotations

@@ -30,9 +30,16 @@ def main():
     print(f"# device: {dev}", flush=True)
     rng = np.random.default_rng(0)
     NQ = 2_900_000
-    BYTES = 4 * 8 * 4_194_304  # fixed table footprint (134 MB)
+    # argv: [widths-csv [table-MB]] — e.g. `widths 2,8,128 512` probes
+    # kv2-shaped 8B rows at the production 512MB footprint
+    widths = (8, 16, 32, 64)
+    BYTES = 4 * 8 * 4_194_304  # default fixed table footprint (134 MB)
+    if len(sys.argv) > 2:
+        widths = tuple(int(x) for x in sys.argv[2].split(","))
+    if len(sys.argv) > 3:
+        BYTES = int(float(sys.argv[3]) * 1e6)
     it = 6
-    for w in (8, 16, 32, 64):
+    for w in widths:
         n = BYTES // (4 * w)
         tbl = jax.device_put(
             jnp.asarray(rng.integers(0, 2**31, (n, w), dtype=np.int64).astype(np.int32)),
