@@ -157,6 +157,14 @@ class Scanner:
             self.index_cache_dir,
             self.ref_file,
         )
+        bs = getattr(self.engine, "batch_size", 0)
+        if bs:
+            # re-chunk byte-sized stream blocks to exact batch multiples:
+            # ragged tails at chunk boundaries cost ~20% extra padded
+            # dispatches otherwise (io.fastq_block.coalesce_pair_blocks)
+            from ..io.fastq_block import coalesce_pair_blocks
+
+            blocks = coalesce_pair_blocks(blocks, bs)
         for block in blocks:
             if hasattr(self.engine, "scan_pair_block"):
                 self.engine.scan_pair_block(mapper, block)
@@ -175,6 +183,11 @@ class Scanner:
             self.index_cache_dir,
             self.ref_file,
         )
+        bs = getattr(self.engine, "batch_size", 0)
+        if bs:
+            from ..io.fastq_block import coalesce_read_blocks
+
+            blocks = coalesce_read_blocks(blocks, bs)
         for rblock in blocks:
             if hasattr(self.engine, "scan_single_block"):
                 self.engine.scan_single_block(mapper, rblock)

@@ -223,6 +223,18 @@ class TpuEngine:
         self._timers = (
             {} if _os.environ.get("GENEFUSE_STAGE_TIMERS") else None
         )
+        # Parallel first-compile: a NEW shape signature's jit call blocks
+        # its calling thread for the full XLA compile (~40-55 s/variant
+        # for the fused scan on v5e) — issued serially from the scheduler
+        # thread, a cold start pays sum(compiles). Routing unseen-/still-
+        # compiling-signature dispatches through a small worker pool
+        # overlaps the compiles (XLA releases the GIL), cutting the cold
+        # ante toward max(compiles). Steady state is untouched: ready
+        # signatures dispatch inline. GENEFUSE_PARALLEL_COMPILE=0 opts out.
+        _pc = _os.environ.get("GENEFUSE_PARALLEL_COMPILE", "4")
+        self._compile_workers = 0 if _pc == "0" else max(1, int(_pc))
+        self._compile_pool = None
+        self._sig_ready = set()
 
     def _timed(self, label, fn):
         """Run fn() and charge its wall time to `label` (no-op unless
@@ -690,8 +702,20 @@ class TpuEngine:
             self._st3_assemble(c)
 
     def _scan_ready(self, c) -> bool:
+        fut = c.get("scan_fut")
+        if fut is not None:
+            if not fut.done():
+                return False
+            self._resolve_scan(c)
         f = c.get("scan_f")
         return f is None or f._thread is None or not f._thread.is_alive()
+
+    def _resolve_scan(self, c) -> None:
+        """Adopt the result of a pool-compiled scan dispatch (blocks if
+        the compile is still running — only hit on flush / saturation)."""
+        fut = c.pop("scan_fut", None)
+        if fut is not None:
+            c["scan_d"], c["okw_d"], c["scan_f"] = fut.result()
 
     def _fetch_merge(self, sh: dict) -> None:
         """Join the producer thread and route exotic rows to the scalar
@@ -729,20 +753,55 @@ class TpuEngine:
         c["scan_d"] = None
         c["okw_d"] = None
         if sh["n_m"] or sh["n_u"]:
-            out_d, okw_d = fused_scan_lanes(
-                sh["bufs_d"],
-                sh["lens_d"],
-                sh["exc_d"],
-                tbl["keys"],
-                tbl["vals"],
-                tbl["dupes"],
-                widths=sh["widths"],
-                cap=self._surv_cap,
-                major_req=st.major_gene_key_requirement,
-                minor_req=st.minor_gene_key_requirement,
-                mismatch_thr=st.mismatch_threshold,
-                **tbl["statics"],
+
+            def call():
+                return fused_scan_lanes(
+                    sh["bufs_d"],
+                    sh["lens_d"],
+                    sh["exc_d"],
+                    tbl["keys"],
+                    tbl["vals"],
+                    tbl["dupes"],
+                    widths=sh["widths"],
+                    cap=self._surv_cap,
+                    major_req=st.major_gene_key_requirement,
+                    minor_req=st.minor_gene_key_requirement,
+                    mismatch_thr=st.mismatch_threshold,
+                    **tbl["statics"],
+                )
+
+            sig = (
+                tuple(b.shape for b in sh["bufs_d"]),
+                sh["exc_d"].shape,
+                sh["widths"],
+                tuple(
+                    x.shape
+                    for x in (tbl["keys"], tbl["vals"], tbl["dupes"])
+                    if x is not None
+                ),
+                tuple(sorted(tbl["statics"].items())),
             )
+            if self._compile_workers and sig not in self._sig_ready:
+                # first sight of this shape signature (or its compile is
+                # still in flight): dispatch from a worker so the XLA
+                # compile does not serialize behind the scheduler thread
+                if self._compile_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._compile_pool = ThreadPoolExecutor(
+                        max_workers=self._compile_workers,
+                        thread_name_prefix="gf-compile",
+                    )
+
+                def call_fetch(sig=sig):
+                    out_d, okw_d = call()
+                    self._sig_ready.add(sig)
+                    return out_d, okw_d, _Fetch(out_d)
+
+                c["scan_fut"] = self._compile_pool.submit(call_fetch)
+                c["stage"] = 1
+                return
+            out_d, okw_d = call()
             c["scan_d"] = out_d
             c["okw_d"] = okw_d  # fetched only on survivor-cap overflow
         c["scan_f"] = _Fetch(c["scan_d"])
@@ -847,6 +906,7 @@ class TpuEngine:
         from ..core.read import SequenceReadPair
         from .ed_batch import EdBatcher
 
+        self._resolve_scan(c)
         mapper = c["mapper"]
         sh = c["shared"]
         if sh.get("se"):

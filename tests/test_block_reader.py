@@ -113,6 +113,54 @@ def test_streamed_blocks_equal_whole_file(tmp_path):
     )
 
 
+def test_coalesce_pair_blocks(tmp_path):
+    """coalesce_pair_blocks must re-chunk byte-sized stream blocks into
+    exact batch multiples (all but the last), preserve order/content, and
+    keep name/read_obj delegation to the source buffers intact."""
+    from genefuserust_tpu.io.fastq_block import (
+        coalesce_pair_blocks,
+        coalesce_read_blocks,
+        read_pair_block,
+        stream_fastq_blocks,
+        stream_pair_blocks,
+    )
+
+    panel = make_panel()
+    pairs = plant_fusion_pairs(panel, n_support=4, n_background=60)
+    r1, r2 = write_fastq_files(pairs, str(tmp_path))
+    whole = read_pair_block(r1, r2)
+    n = len(whole)
+    for bs in (7, 16, 64, 1000):
+        out = list(
+            coalesce_pair_blocks(stream_pair_blocks(r1, r2, chunk_bytes=777), bs)
+        )
+        sizes = [len(b) for b in out]
+        assert sum(sizes) == n
+        assert all(s % bs == 0 for s in sizes[:-1])
+        assert all(s > 0 for s in sizes)
+        k = 0
+        for blk in out:
+            for i in range(len(blk)):
+                assert blk.left.name(i) == whole.left.name(k)
+                assert blk.left.seq_str(i) == whole.left.seq_str(k)
+                assert blk.right.qual_str(i) == whole.right.qual_str(k)
+                ro = blk.left.read_obj(i)
+                assert ro.seq == whole.left.seq_str(k)
+                k += 1
+    # single-end analog
+    out = list(
+        coalesce_read_blocks(stream_fastq_blocks(r1, chunk_bytes=777), 16)
+    )
+    sizes = [len(b) for b in out]
+    assert sum(sizes) == n and all(s % 16 == 0 for s in sizes[:-1])
+    k = 0
+    for blk in out:
+        for i in range(len(blk)):
+            assert blk.name(i) == whole.left.name(k)
+            assert blk.seq_str(i) == whole.left.seq_str(k)
+            k += 1
+
+
 def test_mismatched_widths_and_short_reads(tmp_path):
     """Regression: R1/R2 blocks with different max widths (trimmed mates)
     must scan identically to the host oracle; all-short batches must not

@@ -69,7 +69,7 @@ def main():
     args = ap.parse_args()
 
     lines = [
-        "# SCALE — whole-genome scale proof (round 2)",
+        "# SCALE — whole-genome scale proof (round 4: parallel native builds)",
         "",
         f"Host: {os.uname().nodename}, RAM "
         f"{os.sysconf('SC_PAGE_SIZE') * os.sysconf('SC_PHYS_PAGES') / 1e9:.0f} GB. "
