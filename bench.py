@@ -524,18 +524,42 @@ def run_from_fastq(args):
         engine.flush(mapper)
         return n, time.time() - t0
 
+    # drift-immune pairing: the tunnel's latency drifts ±40% run to run,
+    # so the fastq-vs-cached-pack comparison alternates both arms within
+    # one process (same methodology as --ab) and reports the paired ratio
+    mem_block = gen_block(mapper, args.pairs, args.read_len,
+                          profile=args.profile)
+
+    def mem_pass():
+        t0 = time.time()
+        engine.scan_pair_block(mapper, mem_block)
+        engine.flush(mapper)
+        return args.pairs, time.time() - t0
+
     n, dt = one_pass()  # warmup: compile + OS page cache
     print(f"# warmup(compile): {dt:.1f}s, {n} pairs", file=sys.stderr)
-    rates = []
+    mem_pass()
+    rates, mem_rates = [], []
     for _ in range(args.iters):
+        n, dt = mem_pass()
+        mem_rates.append(n / dt)
         n, dt = one_pass()
         rates.append(n / dt)
     finish_scan(mapper, "", os.path.join(CACHE, "fastq_bench.json"), "bench",
                 Settings())
     pairs_per_sec = float(np.median(rates))
+    mem_pps = float(np.median(mem_rates))
+    ratios = [f / m for f, m in zip(rates, mem_rates)]
+    ratio = float(np.median(ratios))
     print(
         f"# fastq-path: {[f'{r:,.0f}' for r in rates]} "
         f"(median {pairs_per_sec:,.0f})",
+        file=sys.stderr,
+    )
+    print(
+        f"# paired in-memory arm: {[f'{r:,.0f}' for r in mem_rates]} "
+        f"(median {mem_pps:,.0f}); fastq/mem per-cycle ratios "
+        f"{[f'{r:.2f}' for r in ratios]} (median {ratio:.3f})",
         file=sys.stderr,
     )
     print(
@@ -545,6 +569,8 @@ def run_from_fastq(args):
                 "value": round(pairs_per_sec, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                "paired_mem_pairs_per_sec": round(mem_pps, 1),
+                "fastq_over_mem_ratio": round(ratio, 3),
             }
         )
     )

@@ -195,12 +195,19 @@ def read_pair_block(r1_path: str, r2_path: str) -> PairBlock:
 
 
 def _stream_raw_records(path: str, chunk_bytes: int):
-    """Yield byte buffers each containing only COMPLETE 4-line records."""
+    """Yield byte buffers each containing only COMPLETE 4-line records.
+
+    Chunk sizes ramp up (chunk/8, chunk/4, chunk/2, then steady): the
+    first dispatchable block exists after parsing chunk 1, so a small
+    first chunk cuts the pipeline-fill latency ~4x while steady-state
+    chunks stay big enough to amortize parse overhead."""
     opener = gzip.open if path.endswith(".gz") else open
+    ramp = max(1, chunk_bytes // 8)
     with opener(path, "rb") as f:
         carry = b""
         while True:
-            data = f.read(chunk_bytes)
+            data = f.read(ramp)
+            ramp = min(chunk_bytes, ramp * 2)
             if not data:
                 if carry:
                     yield carry
@@ -344,7 +351,7 @@ def _concat_read_blocks(parts: List):
     return _CatReadBlock(parts)
 
 
-def coalesce_pair_blocks(blocks, n: int):
+def coalesce_pair_blocks(blocks, n: int, prefetch: int = 2):
     """Re-chunk a PairBlock iterator so every yielded block (except the
     last) holds an exact multiple of `n` pairs.
 
@@ -353,40 +360,69 @@ def coalesce_pair_blocks(blocks, n: int):
     cost a ragged tail batch — extra padded device dispatches plus extra
     compiled shape variants (~20% more batches at 151 bp reads). Carrying
     the remainder across chunks restores the exact-batch cadence of the
-    in-memory path."""
-    held: List = []
-    held_n = 0
-    for b in blocks:
-        held.append(b)
-        held_n += len(b)
-        if held_n >= n:
-            emit = (held_n // n) * n
-            left = _concat_read_blocks([p.left for p in held])
-            right = _concat_read_blocks([p.right for p in held])
-            yield PairBlock(left.slice(0, emit), right.slice(0, emit))
-            rest_l = left.slice(emit, held_n)
-            rest_r = right.slice(emit, held_n)
-            held = [PairBlock(rest_l, rest_r)] if held_n > emit else []
-            held_n -= emit
-    if held_n:
-        yield PairBlock(
-            _concat_read_blocks([p.left for p in held]),
-            _concat_read_blocks([p.right for p in held]),
-        )
+    in-memory path.
+
+    With prefetch > 0 (default) the concat/copy work runs in a background
+    thread (numpy memcpy releases the GIL): measured ~1.2-1.5 s of
+    main-thread matrix materialization per 524k pairs otherwise
+    serializes with batch dispatch and stalls the device pipeline."""
+
+    def _gen():
+        held_l: List = []
+        held_r: List = []
+        held_n = 0
+        for b in blocks:
+            held_l.append(b.left)
+            held_r.append(b.right)
+            held_n += len(b)
+            if held_n >= n:
+                emit = (held_n // n) * n
+                hl, held_l = _split_parts(held_l, emit)
+                hr, held_r = _split_parts(held_r, emit)
+                yield PairBlock(
+                    _concat_read_blocks(hl), _concat_read_blocks(hr)
+                )
+                held_n -= emit
+        if held_n:
+            yield PairBlock(
+                _concat_read_blocks(held_l), _concat_read_blocks(held_r)
+            )
+
+    return _prefetch_iter(_gen(), prefetch) if prefetch > 0 else _gen()
 
 
-def coalesce_read_blocks(blocks, n: int):
+def _split_parts(parts: List, k: int):
+    """Split a list of blocks at row k into (head, tail) part lists; the
+    boundary block is divided with its own zero-copy slice."""
+    head, tail = [], []
+    acc = 0
+    for p in parts:
+        if acc >= k:
+            tail.append(p)
+        elif acc + len(p) <= k:
+            head.append(p)
+        else:
+            head.append(p.slice(0, k - acc))
+            tail.append(p.slice(k - acc, len(p)))
+        acc += len(p)
+    return head, tail
+
+
+def coalesce_read_blocks(blocks, n: int, prefetch: int = 2):
     """Single-end analog of coalesce_pair_blocks."""
-    held: List = []
-    held_n = 0
-    for b in blocks:
-        held.append(b)
-        held_n += len(b)
-        if held_n >= n:
-            emit = (held_n // n) * n
-            cat = _concat_read_blocks(held)
-            yield cat.slice(0, emit)
-            held = [cat.slice(emit, held_n)] if held_n > emit else []
-            held_n -= emit
-    if held_n:
-        yield _concat_read_blocks(held)
+
+    def _gen():
+        held: List = []
+        held_n = 0
+        for b in blocks:
+            held.append(b)
+            held_n += len(b)
+            if held_n >= n:
+                emit = (held_n // n) * n
+                head, held = _split_parts(held, emit)
+                yield _concat_read_blocks(head)
+                held_n -= emit
+        if held_n:
+            yield _concat_read_blocks(held)
+
+    return _prefetch_iter(_gen(), prefetch) if prefetch > 0 else _gen()
