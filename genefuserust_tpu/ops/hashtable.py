@@ -177,6 +177,12 @@ def _kv_budget(contigs, poss, dupes, max_dupe):
     contigs / too wide a position span / dupe lists longer than a row)."""
     n_contigs = int(contigs.max()) + 1 if len(contigs) else 0
     cbits = max(4, int(n_contigs + 3).bit_length())
+    # Round cbits up to even: cbits/pos_bias are STATIC jit args, so
+    # per-panel drift in either recompiles every scan variant (see the
+    # multi-CSV compile note in _entries_from_indexer). Bucketing costs
+    # at most one position bit and collapses near-identical panels onto
+    # one signature.
+    cbits += cbits & 1
     pbits = 32 - cbits
     n_dup = dupes.shape[0]
     reg = contigs >= 0
@@ -186,6 +192,9 @@ def _kv_budget(contigs, poss, dupes, max_dupe):
         all_pos.append(dupes[:, :, 1][dvalid])
     pos_cat = np.concatenate(all_pos) if len(all_pos[0]) or len(all_pos) > 1 else np.zeros(1, np.int32)
     pos_bias = int(pos_cat.min()) if pos_cat.size else 0
+    # Floor the bias to a 2^18 grid (python >> floors negatives down):
+    # costs up to 262143 of span, shares the static across panels.
+    pos_bias = (pos_bias >> 18) << 18
     span = int(pos_cat.max()) - pos_bias if pos_cat.size else 0
     if span >= (1 << pbits) or n_dup >= (1 << pbits) or max_dupe > 8:
         return None
@@ -693,15 +702,28 @@ def _entries_from_indexer(indexer):
     )
 
     max_dupe = int(counts[dup_i].max()) if n_dup else 1
-    dupes = np.full((max(1, n_dup), max_dupe, 2), EMPTY, np.int32)
+    # Shape normalization (multi-CSV compile sharing): max_dupe is a
+    # STATIC jit arg and the dupe-table row count is a traced SHAPE, so
+    # any per-panel difference in either recompiles every scan variant —
+    # measured 1564s of warmup for 16 equal panel splits (PERF.md round
+    # 4). Bucket both: max_dupe is floored at min(8, pow2(threshold)) so
+    # it is data-independent (dupe rows are stored 8-wide regardless);
+    # padded columns carry the EMPTY fill the expansion already skips,
+    # padded rows are never referenced (dupe row indices in table
+    # payloads stay < n_dup). Data wider than 8 still propagates so the
+    # KV budget check rejects it exactly as before.
+    max_dupe = 1 << (max_dupe - 1).bit_length()
+    max_dupe = max(max_dupe, min(8, 1 << (int(thr) - 1).bit_length()))
+    nd_rows = max(16, 1 << (max(1, n_dup) - 1).bit_length())
+    dupes = np.full((nd_rows, max_dupe, 2), EMPTY, np.int32)
     dupes[:, :, 1] = 0
     if n_dup:
         d_off = np.arange(max_dupe)[None, :]
         src = starts[dup_i][:, None] + d_off  # (n_dup, D)
         valid = d_off < counts[dup_i][:, None]
         src_c = np.clip(src, 0, len(se_c) - 1)
-        dupes[:, :, 0] = np.where(valid, se_c[src_c], EMPTY).astype(np.int32)
-        dupes[:, :, 1] = np.where(valid, se_p[src_c], 0).astype(np.int32)
+        dupes[:n_dup, :, 0] = np.where(valid, se_c[src_c], EMPTY).astype(np.int32)
+        dupes[:n_dup, :, 1] = np.where(valid, se_p[src_c], 0).astype(np.int32)
     return keys, contigs, poss, dupes, max_dupe
 
 
