@@ -52,7 +52,7 @@ from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from ..config import KMER, Settings
+from ..config import KMER, MIN_OVERLAP, Settings
 from ..core.indexer import GenePos, SeqMatch
 from ..core.read import SequenceRead
 from ..core.sequence import BASE_CODE_LUT
@@ -235,6 +235,10 @@ class TpuEngine:
         self._compile_workers = 0 if _pc == "0" else max(1, int(_pc))
         self._compile_pool = None
         self._sig_ready = set()
+        # shape-variant memos (see _pad_rows/_sticky_width): every distinct
+        # program shape costs a full compile + first-execution load
+        self._pad_memo = set()
+        self._width_memo = set()
 
     def _timed(self, label, fn):
         """Run fn() and charge its wall time to `label` (no-op unless
@@ -360,7 +364,19 @@ class TpuEngine:
         variants per octave, but up to 25% less dead gather work — which
         matters once realistic merge-failure rates split a batch across the
         merged and unmerged-lane kernels. Keeps at least one row per mesh
-        device (quarter steps stay n_dev-divisible for pow2 meshes)."""
+        device (quarter steps stay n_dev-divisible for pow2 meshes).
+
+        Two compile-ante guards on top (round 5: each DISTINCT program
+        costs ~40-55 s of XLA compile plus ~15-25 s of serialized
+        first-execution load on this backend, so shape-variant count is
+        the dominant cold-start cost — see PERF.md):
+        - small-lane floor 128: tiny lanes (the long-merged tail, retry
+          and overflow pads) would otherwise flicker across 48/64/96...
+          per batch, compiling a fresh program each time; scanning <=128
+          dead rows is orders of magnitude cheaper than one recompile.
+        - sticky reuse: a pad size this engine has already emitted is
+          reused for any later n it can hold (within 2x of the fresh
+          pad), so repeated batches converge onto one program."""
         floor = max(8, self._n_dev)
         pb = floor
         while pb < n:
@@ -369,7 +385,25 @@ class TpuEngine:
         if step >= floor:
             while pb - step >= n:
                 pb -= step
+        if n <= 128:
+            pb = max(pb, 128)
+        cands = [p for p in self._pad_memo if n <= p <= 2 * pb]
+        if cands:
+            return min(cands)
+        self._pad_memo.add(pb)
         return pb
+
+    def _sticky_width(self, need: int) -> int:
+        """Lane-width selection with compiled-width reuse: a width within
+        one 32-column step above `need` that this engine already emitted
+        is reused instead of compiling a new program (the extra columns
+        cost ~17% more probes on that lane; a new program costs ~60-80 s
+        on this backend). Fresh widths are recorded."""
+        cands = [w for w in self._width_memo if need <= w <= need + 32]
+        if cands:
+            return min(cands)
+        self._width_memo.add(need)
+        return need
 
     def _progress(self, n: int) -> None:
         """Scan progress: unknown-length 8Hz spinner with reads/s on a TTY
@@ -540,11 +574,27 @@ class TpuEngine:
                 break
 
     def flush(self, mapper=None) -> None:
-        while self._queue:
-            c = self._queue.pop(0)
-            while c["stage"] < self._N_STAGES:
-                self._advance(c)
-        self._drain_retries()
+        from .ed_batch import EdBatcher
+
+        while self._queue or any(v[1] for v in self._retry_pend.values()):
+            # issue pending retry scans FIRST so their device round trips
+            # ride the pipe concurrently with the queue drain below (the
+            # old synchronous retry dispatch cost two blocking round
+            # trips per block flush); draining assemblies may enqueue
+            # fresh retries, hence the outer loop
+            issued = []
+            for k in list(self._retry_pend):
+                m, items = self._retry_pend.pop(k)
+                if items:
+                    issued.append((m, self._retry_issue(m, items)))
+            while self._queue:
+                c = self._queue.pop(0)
+                while c["stage"] < self._N_STAGES:
+                    self._advance(c)
+            for m, ctxs in issued:
+                ed = EdBatcher()
+                self._retry_assemble(m, ctxs, ed)
+                ed.flush()
 
     # ---- stage 0: host merge + compact + pack + upload (panel-
     # independent; runs on the producer thread) ----
@@ -598,10 +648,19 @@ class TpuEngine:
         # bound compiled-shape variants); with tight insert-size
         # distributions the long lane holds only the tail
         if n_m:
-            Wlong = _round_up(max(KMER, int(lens_m.max())), 32)
+            # Wlong is PINNED to the structural maximum (a merge is at most
+            # l1+l2-MIN_OVERLAP <= 2L-MIN_OVERLAP): the long lane holds only
+            # the ~5% insert-size tail (~128 rows), so the extra columns are
+            # noise, while a per-batch max-derived width was the #1 source
+            # of recompiled program variants (PERF.md round 5).
+            Wlong = _round_up(
+                max(KMER, min(2 * L - MIN_OVERLAP, 4 * mbuf.shape[1])), 32
+            )
             Wshort = min(
                 Wlong,
-                _round_up(max(KMER, int(np.percentile(lens_m, 95))), 32),
+                self._sticky_width(
+                    _round_up(max(KMER, int(np.percentile(lens_m, 95))), 32)
+                ),
             )
         else:
             Wshort = Wlong = 32
@@ -631,7 +690,8 @@ class TpuEngine:
             ln = np.zeros(P, np.int32)
             if kind == "m":
                 if n_i:
-                    buf[:n_i] = mbuf[sel][:, :wi4]
+                    wm = min(wi4, mbuf.shape[1])
+                    buf[:n_i, :wm] = mbuf[sel][:, :wm]
                     ln[:n_i] = lens_m[sel]
                     m_lane_off[sel] = offs[-1]
                 pair_rows = rows_m[sel]
@@ -984,12 +1044,6 @@ class TpuEngine:
             self._progress(sh["orig_B"])
         c["stage"] = 2
 
-    def _retry(self, mapper, tbl, retry, originals_fn, ed_batcher=None) -> None:
-        """Synchronous RC retry (small non-pipelined paths).
-        retry: [(key, lane, rc_read)]; originals_fn(key) -> original reads."""
-        items = [(lane, rc, list(originals_fn(key))) for key, lane, rc in retry]
-        self._retry_items(mapper, tbl, items, ed_batcher)
-
     def _enqueue_retries(self, mapper, items) -> None:
         """Queue [(lane, rc_read, originals)] for a later batched retry
         dispatch (originals are materialized so the source block can be
@@ -1016,38 +1070,106 @@ class TpuEngine:
                 continue
             m, items = entry
             ed = EdBatcher()
-            self._retry_items(m, self._table_entry(m), items, ed)
+            self._retry_assemble(m, self._retry_issue(m, items), ed)
             ed.flush()
 
-    def _retry_items(self, mapper, tbl, items, ed_batcher=None) -> None:
-        """One batched RC-retry dispatch. items: [(lane, rc_read,
-        original_reads)]. Reference behavior: pescanner.rs:455-513 —
+    def _retry_issue(self, mapper, items):
+        """Dispatch batched RC retries through the SAME single-lane fused
+        scan used by _p2_overflow (identical votes/segments to the main
+        kernel), replacing the old two-program map_read_pass1+pass2 route:
+        one round trip instead of two, and two fewer distinct programs to
+        compile/load at cold start (each costs ~60-80 s on this backend).
+        items: [(lane, rc_read, original_reads)]. Returns async ctxs for
+        _retry_assemble; reference behavior: pescanner.rs:455-513 —
         direction-rejected reads are re-mapped reverse-complemented."""
-        if not items:
-            return
-        Lr2 = _round_up(max(KMER, max(len(r.seq) for _, r, _ in items)), 32)
-        rrows, rlens = _tokenize_bytes(
-            [r.seq.encode("latin-1") for _, r, _ in items], Lr2
-        )
-        sv, ss, se, sc, sp = self._run_map(rrows, rlens, tbl)
-        for k, (lane, rc_read, originals) in enumerate(items):
-            if not (sv[k, 0] and sv[k, 1]):
-                continue
-            mapping = [
-                SeqMatch(
-                    int(ss[k, t]), int(se[k, t]), GenePos(int(sc[k, t]), int(sp[k, t]))
-                )
-                for t in range(2)
-            ]
-            if not mapper.indexer.in_required_direction(mapping):
-                continue
-            m = mapper.make_match(rc_read, mapping, ed_batcher=ed_batcher)
-            m.original_reads = originals
-            if lane != 0:
-                # merged-lane RC matches keep reversed=False
-                # (faithful: pescanner.rs:465-468 vs :487-490)
-                m.reversed = True
-            mapper.add_match(m)
+        from ..ops.fused import fused_scan_lanes
+
+        st = self.settings
+        tbl = self._table_entry(mapper)
+        ctxs = []
+        CHUNK = self._retry_flush_at
+        for s in range(0, len(items), CHUNK):
+            ch = items[s : s + CHUNK]
+            Lr = _round_up(max(KMER, max(len(r.seq) for _, r, _ in ch)), 32)
+            W = self._sticky_width(Lr)
+            rows, lens = _tokenize_bytes(
+                [r.seq.encode("latin-1") for _, r, _ in ch], W
+            )
+            codes = BASE_CODE_LUT[rows]
+            col = np.arange(codes.shape[1])[None, :]
+            er, ec = np.nonzero((codes == 255) & (col < lens[:, None]))
+            codes = np.where(codes == 255, 0, codes).astype(np.uint8)
+            w4 = (W + 3) // 4
+            if codes.shape[1] != 4 * w4:
+                pad = np.zeros((len(ch), 4 * w4 - codes.shape[1]), np.uint8)
+                codes = np.concatenate([codes, pad], axis=1)
+            packed = (
+                codes[:, 0::4]
+                | (codes[:, 1::4] << 2)
+                | (codes[:, 2::4] << 4)
+                | (codes[:, 3::4] << 6)
+            )
+            # pure pow2 with a 512 floor: retry counts vary block to block,
+            # and each distinct pad size is a fresh program (~60-80 s)
+            PAD = max(512, 1 << (len(ch) - 1).bit_length())
+            buf = np.zeros((PAD, w4), np.uint8)
+            buf[: len(ch)] = packed
+            ln = np.zeros(PAD, np.int32)
+            ln[: len(ch)] = lens
+            n_exc = len(er)
+            pe = max(32, self._pad_rows(n_exc))
+            exc = np.full((pe, 2), W, np.int32)
+            exc[:, 0] = PAD
+            exc[:n_exc, 0] = er
+            exc[:n_exc, 1] = ec
+            out_d, _ = fused_scan_lanes(
+                (self._put_batch(buf),),
+                (self._put_batch(ln),),
+                self._put_repl(exc),
+                tbl["keys"],
+                tbl["vals"],
+                tbl["dupes"],
+                widths=(W,),
+                cap=PAD,
+                major_req=st.major_gene_key_requirement,
+                minor_req=st.minor_gene_key_requirement,
+                mismatch_thr=st.mismatch_threshold,
+                **tbl["statics"],
+            )
+            ctxs.append((ch, _Fetch(out_d)))
+        return ctxs
+
+    def _retry_assemble(self, mapper, ctxs, ed_batcher=None) -> None:
+        """Consume _retry_issue results. Survivors come back compacted in
+        ascending row order, so matches are appended in the same item
+        order as the old synchronous path (determinism-preserving)."""
+        for ch, fetch in ctxs:
+            out = fetch.get()
+            body = out[:-1]
+            n = int(out[-1, 0])
+            for k in range(min(n, len(body))):
+                r = body[k]
+                i = int(r[0])
+                if i >= len(ch) or not (r[2] and r[3]):
+                    continue
+                lane, rc_read, originals = ch[i]
+                mapping = [
+                    SeqMatch(
+                        int(r[4 + t]),
+                        int(r[6 + t]),
+                        GenePos(int(r[8 + t]), int(r[10 + t])),
+                    )
+                    for t in range(2)
+                ]
+                if not mapper.indexer.in_required_direction(mapping):
+                    continue
+                m = mapper.make_match(rc_read, mapping, ed_batcher=ed_batcher)
+                m.original_reads = originals
+                if lane != 0:
+                    # merged-lane RC matches keep reversed=False
+                    # (faithful: pescanner.rs:465-468 vs :487-490)
+                    m.reversed = True
+                mapper.add_match(m)
 
     def _scan_single_matrices(self, mapper, rows, lens, read_at: Callable) -> None:
         """Single-end pipeline entry: same one-dispatch scan + readiness-
@@ -1130,58 +1252,3 @@ class TpuEngine:
             L=L,
         )
         return out
-
-    # ------------- map + assemble -------------
-
-    def _run_map(self, rows: np.ndarray, lens: np.ndarray, tbl: dict):
-        """Two-phase map: vote gate on every read, mask/segments only on the
-        compacted survivors (identical results to the fused kernel)."""
-        from ..ops.map_read import map_read_pass1, map_read_pass2
-
-        codes = BASE_CODE_LUT[rows]
-        st = self.settings
-        n = len(lens)
-        ok, h1, l1, h2, l2 = map_read_pass1(
-            self._put_batch(codes),
-            self._put_batch(lens),
-            tbl["keys"],
-            tbl["vals"],
-            tbl["dupes"],
-            major_req=st.major_gene_key_requirement,
-            minor_req=st.minor_gene_key_requirement,
-            **tbl["statics"],
-        )
-        ok = np.asarray(ok)
-        sv = np.zeros((n, 2), bool)
-        ss = np.zeros((n, 2), np.int32)
-        se = np.zeros((n, 2), np.int32)
-        sc = np.zeros((n, 2), np.int32)
-        sp = np.zeros((n, 2), np.int32)
-        surv = np.nonzero(ok)[0]
-        if len(surv) == 0:
-            return sv, ss, se, sc, sp
-        h1, l1, h2, l2 = (np.asarray(x) for x in (h1, l1, h2, l2))
-        # pad survivor count to a power-of-two bucket to bound jit variants
-        pb = self._pad_rows(len(surv))
-        idx = np.concatenate([surv, np.zeros(pb - len(surv), np.int64)])
-        res = map_read_pass2(
-            self._put_batch(codes[idx]),
-            self._put_batch(np.where(np.arange(pb) < len(surv), lens[idx], 0)),
-            self._put_batch(h1[idx]),
-            self._put_batch(l1[idx]),
-            self._put_batch(h2[idx]),
-            self._put_batch(l2[idx]),
-            tbl["keys"],
-            tbl["vals"],
-            tbl["dupes"],
-            mismatch_thr=st.mismatch_threshold,
-            **tbl["statics"],
-        )
-        k = len(surv)
-        sv[surv] = np.asarray(res.seg_valid)[:k]
-        ss[surv] = np.asarray(res.seg_start)[:k]
-        se[surv] = np.asarray(res.seg_end)[:k]
-        sc[surv] = np.asarray(res.seg_contig)[:k]
-        sp[surv] = np.asarray(res.seg_pos)[:k]
-        return sv, ss, se, sc, sp
-
