@@ -35,6 +35,101 @@ sys.path.insert(0, REPO)
 BASELINE_PAIRS_PER_SEC = 72_800.0
 CACHE = os.path.join(REPO, ".bench_cache")
 
+# Always-on compile/cache accounting (VERDICT r4 items 1+7): every XLA
+# compile and persistent-cache hit in the process is captured here and
+# summarized into the bench JSON, so cold-start cost is attributable on
+# the driver record (compile vs first-execution program load vs scan).
+COMPILE_LOG = {"compiles": [], "hits": 0, "block_cache": "n/a"}
+
+
+def install_compile_capture():
+    import logging
+
+    class _Cap(logging.Handler):
+        def emit(self, rec):
+            try:
+                m = rec.getMessage()
+            except Exception:
+                return
+            if "Finished XLA compilation of" in m:
+                mt = re.search(
+                    r"Finished XLA compilation of (\S+?)[) ].* in ([0-9.]+) sec", m
+                )
+                if mt:
+                    COMPILE_LOG["compiles"].append(
+                        (mt.group(1).replace("jit(", ""), float(mt.group(2)))
+                    )
+            elif "compilation cache hit" in m:
+                COMPILE_LOG["hits"] += 1
+
+    h = _Cap()
+    h.setLevel(logging.DEBUG)
+    for name in ("jax._src.dispatch", "jax._src.compiler"):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.DEBUG)
+        lg.addHandler(h)
+        if not os.environ.get("GENEFUSE_BENCH_DEBUG_COMPILES"):
+            lg.propagate = False
+
+
+def provenance(args=None):
+    """Config/environment fields for the bench record: cross-round deltas
+    (drift vs config vs regression) are not attributable without these
+    (VERDICT r4 weak #6)."""
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = ""
+    jc = os.path.join(CACHE, "jaxcache")
+    try:
+        n_jc = len(os.listdir(jc))
+    except OSError:
+        n_jc = 0
+    p = {
+        "git_rev": rev,
+        "host_cores": os.cpu_count(),
+        "parallel_compile": os.environ.get("GENEFUSE_PARALLEL_COMPILE", "4"),
+        "jaxcache_entries_before": n_jc,
+        "block_cache": COMPILE_LOG["block_cache"],
+    }
+    if args is not None:
+        p["layout"] = args.layout
+        p["kv_load"] = args.kv_load
+    return p
+
+
+def compile_summary(warmup_s=None):
+    cs = COMPILE_LOG["compiles"]
+    out = {
+        "programs_compiled": len(cs),
+        "compile_s": round(sum(t for _, t in cs), 1),
+        "cache_hits": COMPILE_LOG["hits"],
+        "programs": sorted({n for n, _ in cs}),
+    }
+    if warmup_s is not None:
+        # residual = first-execution program loads + the warmup scan itself
+        out["load_exec_s"] = round(max(0.0, warmup_s - out["compile_s"]), 1)
+    return out
+
+
+def measure_upload_mbps():
+    """~64 MB H2D probe: the tunnel's effective upload bandwidth swings
+    >100x between sessions; recording it makes slow-warmup runs
+    attributable to the link rather than the engine."""
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(
+        0, 2**31, size=16_000_000, dtype=np.int32
+    )
+    t0 = time.time()
+    jnp.asarray(x).block_until_ready()
+    return round(64.0 / max(time.time() - t0, 1e-3), 1)
+
 
 def panel_files(panel_mbp: float, seed: int = 1):
     """Write (once) and return paths of the synthetic panel ref.fa/panel.csv."""
@@ -191,6 +286,34 @@ class _BenchPairBlock:
 
     def __len__(self):
         return min(len(self.left), len(self.right))
+
+
+def gen_block_cached(mapper, panel_mbp: float, n: int, read_len: int,
+                     profile: str, seed: int = 2):
+    """mmap-cached gen_block: workload synthesis costs ~28 s per process
+    at 524k pairs — pure fixed cost on the driver record. Arrays are
+    cached per (panel, n, read_len, profile, seed) and memory-mapped."""
+    base = os.path.join(
+        CACHE, f"block_{panel_mbp:g}_{n}_{read_len}_{profile}_{seed}_v1"
+    )
+    names = ("b1", "q1", "l1", "b2", "q2", "l2")
+    paths = [f"{base}_{x}.npy" for x in names]
+    if all(os.path.exists(p) for p in paths):
+        b1, q1, l1, b2, q2, l2 = (np.load(p, mmap_mode="r") for p in paths)
+        COMPILE_LOG["block_cache"] = "hit"
+        return _BenchPairBlock(
+            _BenchBlock(b1, q1, l1, "L"), _BenchBlock(b2, q2, l2, "R")
+        )
+    blk = gen_block(mapper, n, read_len, seed=seed, profile=profile)
+    os.makedirs(CACHE, exist_ok=True)
+    for p, a in zip(
+        paths,
+        (blk.left.seq, blk.left.qual, blk.left.lens,
+         blk.right.seq, blk.right.qual, blk.right.lens),
+    ):
+        np.save(p, a)
+    COMPILE_LOG["block_cache"] = "miss"
+    return blk
 
 
 def gen_block(mapper, n: int, read_len: int = 150, seed: int = 2,
@@ -386,8 +509,9 @@ def run_multi_csv(args):
     for m in mappers:
         engine._prepare(m)
     print(f"# tables packed+uploaded: {time.time() - t0:.1f}s", file=sys.stderr)
-    block = gen_block(
-        get_mapper(args.panel_mbp), args.pairs, args.read_len, profile=args.profile
+    block = gen_block_cached(
+        get_mapper(args.panel_mbp), args.panel_mbp, args.pairs, args.read_len,
+        args.profile,
     )
 
     # warmup (compiles; covers every distinct per-CSV table shape)
@@ -470,7 +594,8 @@ def fastq_files(args, mapper):
     r1p, r2p = base + "_R1.fq", base + "_R2.fq"
     if os.path.exists(r1p) and os.path.exists(r2p):
         return r1p, r2p
-    block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
+    block = gen_block_cached(mapper, args.panel_mbp, args.pairs,
+                              args.read_len, args.profile)
 
     def dump(path, b):
         n = len(b)
@@ -527,8 +652,8 @@ def run_from_fastq(args):
     # drift-immune pairing: the tunnel's latency drifts ±40% run to run,
     # so the fastq-vs-cached-pack comparison alternates both arms within
     # one process (same methodology as --ab) and reports the paired ratio
-    mem_block = gen_block(mapper, args.pairs, args.read_len,
-                          profile=args.profile)
+    mem_block = gen_block_cached(mapper, args.panel_mbp, args.pairs,
+                                  args.read_len, args.profile)
 
     def mem_pass():
         t0 = time.time()
@@ -590,7 +715,8 @@ def run_ab(args):
     for s in args.ab.split(","):
         layout, _, load = s.partition(":")
         specs.append((layout, float(load) if load else None))
-    block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
+    block = gen_block_cached(mapper, args.panel_mbp, args.pairs,
+                              args.read_len, args.profile)
     engines, names, arm_matches = [], [], []
     for layout, load in specs:
         packed = get_packed(mapper, args.panel_mbp, layout, load)
@@ -690,6 +816,13 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    try:
+        # needed for the always-on compile accounting (install_compile_
+        # capture): the per-compile elapsed-time lines carry the data
+        jax.config.update("jax_log_compiles", True)
+    except Exception:
+        pass
+    install_compile_capture()
     if os.environ.get("GENEFUSE_BENCH_DEBUG_COMPILES"):
         # Cold-start diagnosis mode: log every XLA compile (with elapsed
         # time) and every persistent-cache hit/miss so the warmup cost can
@@ -704,7 +837,6 @@ def main():
             lg.setLevel(_logging.DEBUG)
             lg.addHandler(_h)
         try:
-            jax.config.update("jax_log_compiles", True)
             jax.config.update("jax_explain_cache_misses", True)
         except Exception:
             pass
@@ -762,17 +894,20 @@ def main():
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
+    upload_mbps = measure_upload_mbps()
+    print(f"# upload link: {upload_mbps} MB/s", file=sys.stderr)
 
     t0 = time.time()
     mapper = get_mapper(args.panel_mbp)
     packed = get_packed(mapper, args.panel_mbp, args.layout, args.kv_load)
+    block = gen_block_cached(
+        mapper, args.panel_mbp, args.pairs, args.read_len, args.profile
+    )
     setup_s = time.time() - t0
-    print(f"# mapper+index ready: {setup_s:.1f}s", file=sys.stderr)
+    print(f"# mapper+index+block ready: {setup_s:.1f}s", file=sys.stderr)
 
     engine = TpuEngine(Settings(), batch_size=args.batch)
     engine.use_packed(packed, mapper)
-
-    block = gen_block(mapper, args.pairs, args.read_len, profile=args.profile)
 
     # warmup: scan the WHOLE block once so every per-batch shape variant
     # (lane pads, width buckets, exception pads) is compiled/loaded before
@@ -782,7 +917,12 @@ def main():
     engine.scan_pair_block(mapper, block)
     engine.flush(mapper)
     warmup_s = time.time() - t0
-    print(f"# warmup(compile): {warmup_s:.1f}s", file=sys.stderr)
+    wsum = compile_summary(warmup_s)
+    print(
+        f"# warmup: {warmup_s:.1f}s = compile {wsum['compile_s']}s "
+        f"({wsum['programs_compiled']} programs, {wsum['cache_hits']} cache "
+        f"hits) + load/exec {wsum['load_exec_s']}s", file=sys.stderr,
+    )
 
     n_matches0 = sum(len(b) for b in mapper.fusion_matches)
     # per-iteration timing, report the median: the dev-tunnel round-trip
@@ -819,6 +959,9 @@ def main():
                 "init_s": round(init_s, 1),
                 "setup_s": round(setup_s, 1),
                 "warmup_s": round(warmup_s, 1),
+                "warmup": wsum,
+                "upload_mbps": upload_mbps,
+                "provenance": provenance(args),
             }
         )
     )

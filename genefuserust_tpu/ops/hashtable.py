@@ -18,6 +18,7 @@ Dupe table (int32 [n_dupe_rows, D, 2]): rows padded with contig -3.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import numpy as np
 
@@ -197,6 +198,28 @@ def _kv_budget(contigs, poss, dupes, max_dupe):
     pos_bias = (pos_bias >> 18) << 18
     span = int(pos_cat.max()) - pos_bias if pos_cat.size else 0
     if span >= (1 << pbits) or n_dup >= (1 << pbits) or max_dupe > 8:
+        # diagnosability (advisor round 4): the even-cbits rounding plus
+        # the 2^18 pos_bias flooring cost up to 1 bit + 262143 of span —
+        # a panel that only fits under the PRE-bucketing budget silently
+        # falls back to the ~3-gather split layout otherwise
+        raw_cbits = max(4, int(n_contigs + 3).bit_length())
+        raw_pbits = 32 - raw_cbits
+        raw_span = (
+            int(pos_cat.max()) - int(pos_cat.min()) if pos_cat.size else 0
+        )
+        if (
+            max_dupe <= 8
+            and raw_span < (1 << raw_pbits)
+            and n_dup < (1 << raw_pbits)
+            and (span >= (1 << pbits) or n_dup >= (1 << pbits))
+        ):
+            logging.getLogger("genefuse").warning(
+                "packed KV budget: panel fits the raw payload budget "
+                "(cbits=%d span=%d) but not the shape-bucketed one "
+                "(cbits=%d span=%d) - falling back to the split layout; "
+                "expect slower scans on this panel",
+                raw_cbits, raw_span, cbits, span,
+            )
         return None
     return cbits, pbits, pos_bias
 
@@ -713,6 +736,12 @@ def _entries_from_indexer(indexer):
     # payloads stay < n_dup). Data wider than 8 still propagates so the
     # KV budget check rejects it exactly as before.
     max_dupe = 1 << (max_dupe - 1).bit_length()
+    # The floor applies to dupe-FREE panels too: gating it on n_dup>0 was
+    # tried (advisor round 4) and breaks compile sharing whenever one
+    # panel split has dupes and its siblings do not (the exact multi-CSV
+    # case the normalization exists for). The cost on the default bench
+    # panel is nil — its true max dupe count (5) already rounds to 8 —
+    # and BENCH_r05 records the re-measurement on normalized shapes.
     max_dupe = max(max_dupe, min(8, 1 << (int(thr) - 1).bit_length()))
     nd_rows = max(16, 1 << (max(1, n_dup) - 1).bit_length())
     dupes = np.full((nd_rows, max_dupe, 2), EMPTY, np.int32)

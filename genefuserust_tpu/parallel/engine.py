@@ -239,6 +239,9 @@ class TpuEngine:
         # program shape costs a full compile + first-execution load
         self._pad_memo = set()
         self._width_memo = set()
+        # shape policy knobs (A/B-able per engine instance)
+        self._pad_small_floor = 128  # pad floor for small lanes
+        self._wlong_grid = 64  # long-merged lane width grid
 
     def _timed(self, label, fn):
         """Run fn() and charge its wall time to `label` (no-op unless
@@ -385,21 +388,21 @@ class TpuEngine:
         if step >= floor:
             while pb - step >= n:
                 pb -= step
-        if n <= 128:
-            pb = max(pb, 128)
+        if n <= self._pad_small_floor:
+            pb = max(pb, self._pad_small_floor)
         cands = [p for p in self._pad_memo if n <= p <= 2 * pb]
         if cands:
             return min(cands)
         self._pad_memo.add(pb)
         return pb
 
-    def _sticky_width(self, need: int) -> int:
+    def _sticky_width(self, need: int, tol: int = 32) -> int:
         """Lane-width selection with compiled-width reuse: a width within
-        one 32-column step above `need` that this engine already emitted
-        is reused instead of compiling a new program (the extra columns
-        cost ~17% more probes on that lane; a new program costs ~60-80 s
+        `tol` columns above `need` that this engine already emitted is
+        reused instead of compiling a new program (the extra columns cost
+        ~tol/width more probes on that lane; a new program costs ~60-80 s
         on this backend). Fresh widths are recorded."""
-        cands = [w for w in self._width_memo if need <= w <= need + 32]
+        cands = [w for w in self._width_memo if need <= w <= need + tol]
         if cands:
             return min(cands)
         self._width_memo.add(need)
@@ -648,13 +651,23 @@ class TpuEngine:
         # bound compiled-shape variants); with tight insert-size
         # distributions the long lane holds only the tail
         if n_m:
-            # Wlong is PINNED to the structural maximum (a merge is at most
-            # l1+l2-MIN_OVERLAP <= 2L-MIN_OVERLAP): the long lane holds only
-            # the ~5% insert-size tail (~128 rows), so the extra columns are
-            # noise, while a per-batch max-derived width was the #1 source
-            # of recompiled program variants (PERF.md round 5).
-            Wlong = _round_up(
+            # Wlong rides a 64-column grid with sticky reuse: a per-batch
+            # max-derived 32-grid width was the #1 source of recompiled
+            # program variants (PERF.md round 5), but pinning it to the
+            # structural maximum (2L-MIN_OVERLAP) was measured to cost
+            # ~20% steady-state (pass 2 unifies survivor rows to
+            # max(widths), so every survivor pays the widest lane). The
+            # 64-grid + stickiness converges to at most 2 values per
+            # workload while tracking the actual insert-size tail.
+            Wcap = _round_up(
                 max(KMER, min(2 * L - MIN_OVERLAP, 4 * mbuf.shape[1])), 32
+            )
+            g = self._wlong_grid
+            Wlong = min(
+                Wcap,
+                self._sticky_width(
+                    _round_up(max(KMER, int(lens_m.max())), g), tol=g
+                ),
             )
             Wshort = min(
                 Wlong,
