@@ -472,6 +472,113 @@ def split_panel_csvs(panel_mbp: float, n_csv: int):
     return fa, paths
 
 
+def _multi_csv_mappers(args, n):
+    from genefuserust_tpu.config import Settings
+    from genefuserust_tpu.core.mapper import FusionMapper
+    from genefuserust_tpu.io import fasta
+
+    fa, csv_paths = split_panel_csvs(args.panel_mbp, n)
+    contigs = fasta.read_all(fa, force_upper_case=False)
+    return [
+        FusionMapper(contigs, p, Settings(), True, CACHE, fa) for p in csv_paths
+    ]
+
+
+def run_multi_csv_scale(args):
+    """Amortization scaling curve (VERDICT r4 item 5): for N in 2/4/8/16,
+    paired single-vs-N-CSV timings in ONE process -> pair-CSV-scans/s and
+    speedup-vs-sequential per N. Shows where the shared merge+pack+upload
+    amortization saturates. Writes BENCH_MULTICSV_SCALE.json."""
+    from genefuserust_tpu.config import Settings
+    from genefuserust_tpu.core.scanner import finish_scan
+    from genefuserust_tpu.parallel.engine import TpuEngine
+
+    block = gen_block_cached(
+        get_mapper(args.panel_mbp), args.panel_mbp, args.pairs, args.read_len,
+        args.profile,
+    )
+    iters = min(args.iters, 3)
+    curve = []
+    for n in (2, 4, 8, 16):
+        t0 = time.time()
+        mappers = _multi_csv_mappers(args, n)
+        engine = TpuEngine(Settings(), batch_size=args.batch)
+        for m in mappers:
+            engine._prepare(m)
+        setup = time.time() - t0
+        t0 = time.time()
+        engine.scan_pair_block_multi(mappers, block)
+        engine.flush()
+        engine.scan_pair_block_multi(mappers[:1], block)
+        engine.flush()
+        warm = time.time() - t0
+        singles, multis = [], []
+        for _ in range(iters):
+            t0 = time.time()
+            engine.scan_pair_block_multi(mappers[:1], block)
+            engine.flush()
+            singles.append(time.time() - t0)
+            t0 = time.time()
+            engine.scan_pair_block_multi(mappers, block)
+            engine.flush()
+            multis.append(time.time() - t0)
+        for m in mappers:
+            finish_scan(m, "", "", "bench", Settings())
+        speedup = float(np.median([n * s / m for s, m in zip(singles, multis)]))
+        rate = float(np.median([args.pairs * n / m for m in multis]))
+        curve.append(
+            {
+                "n_csv": n,
+                "pair_csv_scans_per_sec": round(rate, 1),
+                "speedup_vs_sequential": round(speedup, 2),
+                "setup_s": round(setup, 1),
+                "warmup_s": round(warm, 1),
+                "t_single_s": [round(s, 2) for s in singles],
+                "t_multi_s": [round(m, 2) for m in multis],
+            }
+        )
+        print(
+            f"# N={n}: {rate:,.0f} pair-csv-scans/s, amortization "
+            f"{speedup:.2f}x, warmup {warm:.1f}s",
+            file=sys.stderr,
+        )
+    with open(os.path.join(REPO, "BENCH_MULTICSV_SCALE.json"), "w") as f:
+        json.dump(
+            {
+                "workload": {
+                    "panel_mbp": args.panel_mbp,
+                    "pairs": args.pairs,
+                    "read_len": args.read_len,
+                    "profile": args.profile,
+                    "iters": iters,
+                },
+                "curve": curve,
+                "warmup": compile_summary(),
+                "provenance": provenance(args),
+            },
+            f,
+            indent=1,
+        )
+    best = max(curve, key=lambda c: c["pair_csv_scans_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "pe_multi_csv_scale_best_pair_scans_per_sec",
+                "value": best["pair_csv_scans_per_sec"],
+                "unit": "pair-csv-scans/s",
+                "vs_baseline": round(
+                    best["pair_csv_scans_per_sec"] / BASELINE_PAIRS_PER_SEC, 3
+                ),
+                "curve": [
+                    (c["n_csv"], c["pair_csv_scans_per_sec"],
+                     c["speedup_vs_sequential"])
+                    for c in curve
+                ],
+            }
+        )
+    )
+
+
 def run_multi_csv(args):
     """Multi-CSV batch-mode throughput: one shared device pass (upload +
     merge + per-panel vote/mask pipelines) serves N panel CSVs at once —
@@ -492,18 +599,12 @@ def run_multi_csv(args):
     Persists both (plus the per-iter record) to BENCH_MULTICSV.json.
     """
     from genefuserust_tpu.config import Settings
-    from genefuserust_tpu.core.mapper import FusionMapper
     from genefuserust_tpu.core.scanner import finish_scan
-    from genefuserust_tpu.io import fasta
     from genefuserust_tpu.parallel.engine import TpuEngine
 
     n = args.multi_csv
-    fa, csv_paths = split_panel_csvs(args.panel_mbp, n)
-    contigs = fasta.read_all(fa, force_upper_case=False)
     t0 = time.time()
-    mappers = [
-        FusionMapper(contigs, p, Settings(), True, CACHE, fa) for p in csv_paths
-    ]
+    mappers = _multi_csv_mappers(args, n)
     print(f"# {n} mappers ready: {time.time() - t0:.1f}s", file=sys.stderr)
     engine = TpuEngine(Settings(), batch_size=args.batch)
     for m in mappers:
@@ -518,7 +619,13 @@ def run_multi_csv(args):
     t0 = time.time()
     engine.scan_pair_block_multi(mappers, block)
     engine.flush()
-    print(f"# warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    warmup_s = time.time() - t0
+    wsum = compile_summary(warmup_s)
+    print(
+        f"# warmup: {warmup_s:.1f}s = compile {wsum['compile_s']}s "
+        f"({wsum['programs_compiled']} programs, {wsum['cache_hits']} cache "
+        f"hits) + load/exec {wsum['load_exec_s']}s", file=sys.stderr,
+    )
     engine.scan_pair_block_multi(mappers[:1], block)
     engine.flush()
 
@@ -575,6 +682,9 @@ def run_multi_csv(args):
                 "per_iter": {"t_single_s": singles, "t_multi_s": multis},
                 "matches": n_matches,
                 "metrics": records,
+                "warmup_s": round(warmup_s, 1),
+                "warmup": wsum,
+                "provenance": provenance(args),
             },
             f,
             indent=1,
@@ -775,7 +885,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--panel-mbp", type=float, default=15.2)
     ap.add_argument("--batch", type=int, default=65536)
-    ap.add_argument("--pairs", type=int, default=524288)
+    ap.add_argument("--pairs", type=int, default=None,
+                    help="default: 524288 (1048576 for --from-fastq: at "
+                    "3s passes the per-pass pipeline-fill bubble dominates "
+                    "the paired ratio; a real job pays it once — PERF.md "
+                    "round 4/5)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--read-len", type=int, default=None,
                     help="default: 151 (real profile) / 150 (clean)")
@@ -803,9 +917,17 @@ def main():
         default=0,
         help="N>0: run the N-CSV batch-mode bench instead of the single scan",
     )
+    ap.add_argument(
+        "--multi-csv-scale",
+        action="store_true",
+        help="run the N=2/4/8/16 amortization scaling curve "
+        "(BENCH_MULTICSV_SCALE.json)",
+    )
     args = ap.parse_args()
     if args.read_len is None:
         args.read_len = 151 if args.profile == "real" else 150
+    if args.pairs is None:
+        args.pairs = 1048576 if args.from_fastq else 524288
 
     import jax
 
@@ -882,6 +1004,9 @@ def main():
     from genefuserust_tpu.config import Settings
     from genefuserust_tpu.parallel.engine import TpuEngine
 
+    if args.multi_csv_scale:
+        run_multi_csv_scale(args)
+        return
     if args.multi_csv > 0:
         run_multi_csv(args)
         return

@@ -193,9 +193,17 @@ def _kv_budget(contigs, poss, dupes, max_dupe):
         all_pos.append(dupes[:, :, 1][dvalid])
     pos_cat = np.concatenate(all_pos) if len(all_pos[0]) or len(all_pos) > 1 else np.zeros(1, np.int32)
     pos_bias = int(pos_cat.min()) if pos_cat.size else 0
-    # Floor the bias to a 2^18 grid (python >> floors negatives down):
-    # costs up to 262143 of span, shares the static across panels.
-    pos_bias = (pos_bias >> 18) << 18
+    # Bias bucketing (pos_bias is a STATIC jit arg): the minimum position
+    # is -(longest gene) — panels split from one CSV differ in their
+    # longest gene, so a fine grid still split 16 sub-panels over three
+    # bias values (round 5, 810 s of multi-CSV recompiles). Negative
+    # biases round DOWN to a power of two with a -2^20 floor (genes up to
+    # 1 Mbp all share one value; the wasted span is noise vs the 2^pbits
+    # budget); positive biases keep the 2^18 grid.
+    if pos_bias < 0:
+        pos_bias = -(1 << max(20, (-pos_bias - 1).bit_length()))
+    else:
+        pos_bias = (pos_bias >> 18) << 18
     span = int(pos_cat.max()) - pos_bias if pos_cat.size else 0
     if span >= (1 << pbits) or n_dup >= (1 << pbits) or max_dupe > 8:
         # diagnosability (advisor round 4): the even-cbits rounding plus
@@ -247,6 +255,14 @@ def pack_index_kv(indexer, target_load: float = 0.9, slots: int = KV_SLOTS,
 
     nb = 16
     while nb * slots * target_load < max(len(keys), 1):
+        nb *= 2
+    # bucket-count grid: even pow2 exponent (pow4 steps). nb is a traced
+    # SHAPE via the table, and real panel splits spread key counts across
+    # adjacent pow2s (round 5: 2^21/2^22/2^23 across 16 sub-panels = part
+    # of 8 distinct signatures -> 810 s of warmup recompiles). The step
+    # costs at most 2x table memory on panels that land on an odd
+    # exponent; load only drops, so placement still succeeds.
+    if (nb.bit_length() - 1) & 1:
         nb *= 2
     table = None
     while nb <= max_buckets:
@@ -743,7 +759,13 @@ def _entries_from_indexer(indexer):
     # panel is nil — its true max dupe count (5) already rounds to 8 —
     # and BENCH_r05 records the re-measurement on normalized shapes.
     max_dupe = max(max_dupe, min(8, 1 << (int(thr) - 1).bit_length()))
-    nd_rows = max(16, 1 << (max(1, n_dup) - 1).bit_length())
+    # dupe-row count is a traced SHAPE: floor 2048 + even pow2 exponent —
+    # real panel splits spread n_dup across 128..2048 (round 5: part of 8
+    # distinct table signatures = 810 s of multi-CSV warmup); the floor
+    # costs at most 64 KB per table
+    nd_rows = max(4096, 1 << (max(1, n_dup) - 1).bit_length())
+    if (nd_rows.bit_length() - 1) & 1:
+        nd_rows *= 2
     dupes = np.full((nd_rows, max_dupe, 2), EMPTY, np.int32)
     dupes[:, :, 1] = 0
     if n_dup:
