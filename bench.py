@@ -131,6 +131,24 @@ def measure_upload_mbps():
     return round(64.0 / max(time.time() - t0, 1e-3), 1)
 
 
+def measure_exec_rtt_ms():
+    """Median round trip of a tiny content-varied dispatch: the tunnel's
+    EXECUTION latency drifts independently of upload bandwidth (measured
+    2026-08-21: 590 MB/s upload while executions ran ~2x slower than the
+    same morning), so the bench record needs both."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x * 3 + 1).sum())
+    ts = []
+    for salt in range(6):
+        x = jnp.full((128, 128), salt, jnp.int32)  # content-varied: the
+        t0 = time.time()  # tunnel memoizes same-content executions
+        f(x).block_until_ready()
+        ts.append(time.time() - t0)
+    return round(float(np.median(ts[1:])) * 1e3, 1)
+
+
 def panel_files(panel_mbp: float, seed: int = 1):
     """Write (once) and return paths of the synthetic panel ref.fa/panel.csv."""
     from genefuserust_tpu.utils.synthetic import random_seq
@@ -185,11 +203,13 @@ def get_mapper(panel_mbp: float):
 # native target_load: keys/(buckets*slots) for kv8/kv4, keys/bucket for
 # the single-probe layouts.
 _LAYOUTS = {
-    "kv8": ("v4kv", 0.7, 0.9),
-    "kv4": ("v6kv4", 0.6, 0.6),
-    "kv2": ("v7kv2", 0.5, 0.5),
-    "kvs": ("v5kvs", 1.0, 1.0),
-    "kv16": ("v5kv16", 4.0, 4.0),
+    # v8/v6 cache-suffix bump: round-5 shape bucketing (pow4 nb grid,
+    # dupe-row floor, pow2 pos_bias) changed the packed layouts
+    "kv8": ("v5kv", 0.7, 0.9),
+    "kv4": ("v7kv4", 0.6, 0.6),
+    "kv2": ("v8kv2", 0.5, 0.5),
+    "kvs": ("v6kvs", 1.0, 1.0),
+    "kv16": ("v6kv16", 4.0, 4.0),
 }
 
 
@@ -780,8 +800,12 @@ def run_from_fastq(args):
         mem_rates.append(n / dt)
         n, dt = one_pass()
         rates.append(n / dt)
-    finish_scan(mapper, "", os.path.join(CACHE, "fastq_bench.json"), "bench",
-                Settings())
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        # fusion text blocks go to stderr: bench stdout is ONE JSON line
+        finish_scan(mapper, "", os.path.join(CACHE, "fastq_bench.json"),
+                    "bench", Settings())
     pairs_per_sec = float(np.median(rates))
     mem_pps = float(np.median(mem_rates))
     ratios = [f / m for f, m in zip(rates, mem_rates)]
@@ -1020,7 +1044,11 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
     upload_mbps = measure_upload_mbps()
-    print(f"# upload link: {upload_mbps} MB/s", file=sys.stderr)
+    exec_rtt_ms = measure_exec_rtt_ms()
+    print(
+        f"# link: upload {upload_mbps} MB/s, exec rtt {exec_rtt_ms} ms",
+        file=sys.stderr,
+    )
 
     t0 = time.time()
     mapper = get_mapper(args.panel_mbp)
@@ -1086,6 +1114,7 @@ def main():
                 "warmup_s": round(warmup_s, 1),
                 "warmup": wsum,
                 "upload_mbps": upload_mbps,
+                "exec_rtt_ms": exec_rtt_ms,
                 "provenance": provenance(args),
             }
         )
