@@ -225,9 +225,14 @@ class TpuEngine:
         self._retry_pend = {}  # id(mapper) -> (mapper, [(lane, rc, originals)])
         self._retry_flush_at = 4096
         # fused-scan survivor capacity: the one fetched matrix carries at
-        # most this many vote-gate survivors per batch; beyond it the rare
-        # _p2_overflow path kicks in (~20x headroom over observed rates)
-        self._surv_cap = 4096
+        # most this many vote-gate survivors per batch; beyond it the
+        # (equality-tested) _p2_overflow path kicks in. Pass 2 and the
+        # result fetch scale with the cap, and the vote gate passes only
+        # ~100 rows/batch on the bench workload — the round-5 interleaved
+        # A/B measured cap 4096 -> 1024 as +7.3% end-to-end (and 512 as
+        # +10.2%) with identical matches. 1024 keeps ~10x headroom for
+        # junction-rich real samples while banking most of the win.
+        self._surv_cap = 1024
         # opt-in wall-time decomposition (profile_engine.py): maps
         # label -> [total_s, calls]; ~two time.time() calls per probe
         import os as _os
