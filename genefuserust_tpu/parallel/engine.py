@@ -410,7 +410,11 @@ class TpuEngine:
                 pb -= step
         if n <= self._pad_small_floor:
             pb = max(pb, self._pad_small_floor)
-        cands = [p for p in self._pad_memo if n <= p <= 2 * pb]
+        # reuse window: at most ONE quarter-pow2 step above the fresh pad
+        # (1.33x). A 2x window was tried first and let the unmerged lane
+        # reuse the merged lane's 65536 pad for ~30k rows — doubling that
+        # lane's gather volume (~8% of the scan) to save one compile.
+        cands = [p for p in self._pad_memo if pb <= p and 3 * p <= 4 * pb]
         if cands:
             return min(cands)
         self._pad_memo.add(pb)
