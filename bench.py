@@ -109,7 +109,10 @@ def compile_summary(warmup_s=None):
         "programs_compiled": len(cs),
         "compile_s": round(sum(t for _, t in cs), 1),
         "cache_hits": COMPILE_LOG["hits"],
-        "programs": sorted({n for n, _ in cs}),
+        # list only the substantive programs (tiny probe/setup dispatches
+        # like broadcast_in_dim clutter the record; their time is in
+        # compile_s regardless)
+        "programs": sorted({n for n, t in cs if t >= 1.0}),
     }
     if warmup_s is not None:
         # residual = first-execution program loads + the warmup scan itself
