@@ -913,10 +913,11 @@ def main():
     ap.add_argument("--panel-mbp", type=float, default=15.2)
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--pairs", type=int, default=None,
-                    help="default: 524288 (1048576 for --from-fastq: at "
-                    "3s passes the per-pass pipeline-fill bubble dominates "
-                    "the paired ratio; a real job pays it once — PERF.md "
-                    "round 4/5)")
+                    help="default: 1048576 for the single-scan and "
+                    "--from-fastq modes (the reference's own bench jobs "
+                    "are 1.34M pairs and short blocks leave the per-block "
+                    "flush/fill bubble unamortized — PERF.md round 5); "
+                    "524288 for the multi-CSV modes (16x work per iter)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--read-len", type=int, default=None,
                     help="default: 151 (real profile) / 150 (clean)")
@@ -954,7 +955,9 @@ def main():
     if args.read_len is None:
         args.read_len = 151 if args.profile == "real" else 150
     if args.pairs is None:
-        args.pairs = 1048576 if args.from_fastq else 524288
+        args.pairs = (
+            524288 if (args.multi_csv or args.multi_csv_scale) else 1048576
+        )
 
     import jax
 
@@ -1111,6 +1114,7 @@ def main():
                 "value": round(pairs_per_sec, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                "pairs_per_iter": args.pairs,
                 "wall_s": round(wall_s, 1),
                 "init_s": round(init_s, 1),
                 "setup_s": round(setup_s, 1),
