@@ -140,3 +140,18 @@ def test_dupe_table_dims_are_pow2_bucketed(tmp_path):
     np.testing.assert_array_equal(out_p[reg], poss[reg])
     assert (out_c[ctg == hashtable.DUPE] == hashtable.DUPE).all()
     assert (out_p[ctg == hashtable.DUPE] == poss[ctg == hashtable.DUPE]).all()
+
+
+def test_pad_reuse_window_is_one_quarter_step():
+    """Regression guard for the round-5 sticky-pad bug: with 65536 already
+    in the memo (the merged lane), a ~30k-row lane must get its own 32768
+    pad, not adopt the 2x-too-big 65536 (which doubled that lane's gather
+    volume); adjacent quarter-step reuse (49152 -> 65536) stays allowed."""
+    from genefuserust_tpu.parallel.engine import TpuEngine
+
+    e = TpuEngine(Settings(), batch_size=65536)
+    assert e._pad_rows(50452) == 65536  # merged lane seeds the memo
+    assert e._pad_rows(30168) == 32768  # unmerged lane: NOT 65536
+    assert e._pad_rows(49152) == 65536  # adjacent quarter-step reuse ok
+    assert e._pad_rows(100) == 128  # small-lane floor
+    assert e._pad_rows(30169) == 32768  # stable thereafter
